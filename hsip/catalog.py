@@ -1,0 +1,103 @@
+"""Table catalog: Iceberg when a runtime is on the classpath, parquet
+directory + JSON manifest otherwise (SURVEY.md §2.1 S1-S4).
+
+The sandbox has no iceberg-spark-runtime jar and no network (SURVEY.md
+§0.4), so the Iceberg path is a config-only switch: on a real cluster,
+set ``spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog``
+and pass ``iceberg_catalog=<name>`` — every read/write below then goes
+through ``spark.read.table`` / ``df.writeTo`` and inherits Iceberg
+snapshot isolation, metadata pruning and atomic commits. The parquet
+fallback emulates atomic commit with write-to-temp + rename + manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+FIXTURE_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_fixture(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    """S1: vectorized parquet scan of a driver fixture table."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in FIXTURE_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+class Catalog:
+    """Uniform read/write over Iceberg (cluster) or parquet dirs (sandbox)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, iceberg_catalog: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.iceberg_catalog = iceberg_catalog
+        if not iceberg_catalog:
+            os.makedirs(warehouse, exist_ok=True)
+
+    # -- identifiers ---------------------------------------------------
+    def _path(self, ident: str) -> str:
+        return os.path.join(self.warehouse, ident.replace(".", "/"))
+
+    def exists(self, ident: str) -> bool:
+        if self.iceberg_catalog:
+            return self.spark.catalog.tableExists(f"{self.iceberg_catalog}.{ident}")
+        return os.path.exists(os.path.join(self._path(ident), "_MANIFEST.json"))
+
+    # -- read ----------------------------------------------------------
+    def read(self, ident: str) -> DataFrame:
+        if self.iceberg_catalog:
+            return self.spark.read.table(f"{self.iceberg_catalog}.{ident}")
+        return self.spark.read.parquet(os.path.join(self._path(ident), "data"))
+
+    def manifest(self, ident: str) -> dict:
+        with open(os.path.join(self._path(ident), "_MANIFEST.json")) as f:
+            return json.load(f)
+
+    # -- write (atomic) --------------------------------------------------
+    def write(self, df: DataFrame, ident: str, mode: str = "overwrite",
+              meta: dict | None = None) -> None:
+        if self.iceberg_catalog:
+            full = f"{self.iceberg_catalog}.{ident}"
+            if mode == "append" and self.exists(ident):
+                df.writeTo(full).append()
+            else:
+                df.writeTo(full).createOrReplace()
+            return
+        base = self._path(ident)
+        tmp = f"{base}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        man = {
+            "ident": ident,
+            "snapshot_id": uuid.uuid4().hex,
+            "committed_at": time.time(),
+            "meta": meta or {},
+        }
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump(man, f)
+        if mode == "append" and os.path.exists(base):
+            # append = union old data into the new snapshot dir, then swap
+            old = self.spark.read.parquet(os.path.join(base, "data"))
+            old.write.mode("append").parquet(os.path.join(tmp, "data"))
+        if os.path.exists(base):
+            shutil.rmtree(base)
+        os.rename(tmp, base)
+
+    def drop(self, ident: str) -> None:
+        if self.iceberg_catalog:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.iceberg_catalog}.{ident}")
+        elif os.path.exists(self._path(ident)):
+            shutil.rmtree(self._path(ident))

@@ -1,0 +1,103 @@
+"""X1-X3 — connected components via alternating large-star / small-star
+(Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, SoCC 2014).
+
+Converges in O(log^2 n) rounds (O(log n) observed); every round is two
+groupBy+join passes over the edge set. Lineage is truncated each round
+with localCheckpoint (plan growth is exponential otherwise — SURVEY.md
+§4.2.3); convergence is detected with a cheap (count, hash-sum) checksum
+action instead of a full set comparison.
+
+Output convention (X2): cluster_id = min id in the component; singletons
+keep their own id. Pair-recall is label-invariant so the convention only
+needs to be deterministic (BASELINE.json:2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect each strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("m"))
+    mins = mins.withColumn("m", F.least("m", "src"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges high->low; connect all neighbors (and u) to the min."""
+    lo = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = lo.groupBy("src").agg(F.min("dst").alias("m"))
+    nbr_edges = lo.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_edges = mins.select("src", F.col("m").alias("dst"))
+    return (
+        nbr_edges.unionByName(self_edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).cast("string").alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """edges(a, b) -> (id, cluster_id); covers only ids present in edges.
+
+    Use ``assign_clusters`` to extend to singleton ids.
+    """
+    e = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: star graphs, every edge points (member -> component min)
+    members = e.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))
+    roots = e.select(F.col("dst").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    return members.unionByName(roots).groupBy("id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
+def assign_clusters(all_ids: DataFrame, edges: DataFrame, id_col: str = "id") -> DataFrame:
+    """X2: full cluster table over every id; singletons -> own id."""
+    comp = connected_components(edges)
+    ids = all_ids.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(comp, "id", "left").select(
+        "id", F.coalesce("cluster_id", "id").alias("cluster_id")
+    )
+
+
+def canonical_representatives(clusters: DataFrame) -> DataFrame:
+    """X3: one keeper row per cluster (min id — deterministic)."""
+    return clusters.groupBy("cluster_id").agg(
+        F.min("id").alias("representative"), F.count(F.lit(1)).alias("cluster_size")
+    )

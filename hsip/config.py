@@ -1,0 +1,57 @@
+"""Pipeline configuration + deterministic fingerprinting.
+
+Every knob that changes output lives here; the fingerprint keys checkpoint
+manifests so a config change invalidates downstream stages (SURVEY.md §3,
+entry point 3). All randomness in the pipeline derives from ``seed`` —
+required for the recall-reproducibility and resume invariants
+(/root/repo/BASELINE.json:6 "resumable", :2 "recall >= 0.99").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # shingling (G1)
+    shingle_k: int = 5              # token k-grams
+    # MinHash (G2) — num_perm = lsh_bands * lsh_rows
+    num_perm: int = 128
+    seed: int = 42
+    # LSH banding (G3/G4); threshold ~ (1/b)^(1/r) = (1/32)^(1/4) ~ 0.42
+    lsh_bands: int = 32
+    lsh_rows: int = 4
+    bucket_cap: int = 64            # hot-bucket star-pairing threshold (§4.2.1)
+    # verification (V2)
+    jaccard_threshold: float = 0.8
+    # SimHash (G5/G6)
+    simhash_bits: int = 64
+    hamming_d: int = 3              # candidates within Hamming distance d
+    hamming_blocks: int = 4         # pigeonhole blocks (d+1 <= blocks)
+    # suffix/substring channel (G7/V4)
+    min_substr_len: int = 200       # chars; duplicates = common substring >= L
+    winnow_window: int = 50         # winnowing window w; guarantee k_sa+w-1 <= L
+    substr_bucket_cap: int = 64
+    # normalization (R3)
+    lowercase: bool = True
+    collapse_ws: bool = True
+    strip_punct: bool = False
+    # ops
+    max_turns_per_conv: int = 10_000  # spill guard, logged when hit (§4.2.5)
+
+    @property
+    def substr_gram(self) -> int:
+        """Char-gram size for winnowed fingerprints: k_sa = L - w + 1 so any
+        common substring of length >= L is guaranteed to share a selected
+        fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003, thm 1)."""
+        return self.min_substr_len - self.winnow_window + 1
+
+    def fingerprint(self) -> str:
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT = DedupConfig()

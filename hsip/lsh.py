@@ -1,0 +1,91 @@
+"""G3/G4 — LSH band hashing + bucket self-pairing with hot-bucket control.
+
+Banding (MMDS ch.3): split the num_perm-row signature into b bands of r
+rows; two docs are candidates iff some band hashes equal. Candidate
+probability at Jaccard s is 1-(1-s^r)^b, threshold ~ (1/b)^(1/r).
+
+Everything here is pure SQL (posexplode + xxhash64 + self-equi-join) —
+no Python crossing. Skew control (SURVEY.md §4.2.1): bucket sizes are
+computed first; buckets above ``bucket_cap`` switch from all-pairs
+self-join (O(m^2) pair explosion no AQE split can fix) to star pairing
+against the bucket minimum (O(m) edges, preserves bucket connectivity in
+the CC graph); every truncation is logged to metrics — no silent caps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+
+
+def band_table(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(id, sig) -> (id, band_id, band_hash). One row per band per doc."""
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(b - 1)),
+        lambda i: F.xxhash64(i, F.slice(F.col("sig"), i * r + 1, r)),
+    )
+    return sig_df.select(
+        "id", F.posexplode(bands).alias("band_id", "band_hash")
+    )
+
+
+def pairs_from_buckets(
+    bucketed: DataFrame,
+    cap: int,
+    id_col: str = "id",
+    bucket_cols: tuple[str, ...] = ("band_id", "band_hash"),
+    channel: str = "minhash_lsh",
+) -> tuple[DataFrame, DataFrame]:
+    """Generic bucket -> candidate-pair expansion with hot-bucket star mode.
+
+    Returns (pairs(a,b,channel), hot_bucket_stats) — the latter feeds the
+    metrics table (SURVEY.md S6; "no silent caps").
+    Reused by every candidate channel (LSH bands, Hamming blocks,
+    substring fingerprints): they all reduce to "same bucket key => pair".
+    """
+    cols = list(bucket_cols)
+    sizes = bucketed.groupBy(*cols).agg(F.count(F.lit(1)).alias("bsz"))
+    tagged = bucketed.join(sizes, cols)
+
+    small = tagged.filter(F.col("bsz") <= cap).drop("bsz")
+    x = small.alias("x")
+    y = small.alias("y")
+    cond = [F.col(f"x.{c}") == F.col(f"y.{c}") for c in cols] + [
+        F.col(f"x.{id_col}") < F.col(f"y.{id_col}")
+    ]
+    small_pairs = x.join(y, cond).select(
+        F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+    )
+
+    # hot buckets: connect every member to the bucket minimum (star). The
+    # bucket stays one connected component in the pair graph at O(m) edges.
+    hot = tagged.filter(F.col("bsz") > cap)
+    hot_min = hot.groupBy(*cols).agg(F.min(id_col).alias("a"))
+    hot_pairs = (
+        hot.join(hot_min, cols)
+        .filter(F.col(id_col) != F.col("a"))
+        .select("a", F.col(id_col).alias("b"))
+    )
+
+    pairs = (
+        small_pairs.unionByName(hot_pairs)
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.lit(channel).alias("channel"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    hot_stats = hot.groupBy(*cols).agg(F.max("bsz").alias("bucket_size"))
+    return pairs, hot_stats
+
+
+def lsh_candidates(sig_df: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+    """(id, sig) -> (candidate pairs, hot-bucket stats)."""
+    bands = band_table(sig_df, cfg)
+    # co-locate bucket members before the self-join; AQE coalesces after
+    bands = bands.repartition("band_id", "band_hash")
+    return pairs_from_buckets(bands, cfg.bucket_cap, channel="minhash_lsh")

@@ -1,0 +1,50 @@
+"""SparkSession factory with the configs the pipeline assumes.
+
+Scale posture (SURVEY.md §4): AQE on (skew-join split + partition
+coalescing), Arrow on (every Python crossing is columnar), UTC session
+timezone (oracle comparability), shuffle partitions sized to parallelism
+and rescaled by the bench harness for the N→4N scaling runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hsip-dedup",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("HSIP_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        # derive from parallelism: 2x cores is a good local-mode default;
+        # on a real cluster this is set to ~2-3x total executor cores.
+        cores = os.cpu_count() or 8
+        if master.startswith("local[") and master[6:-1].isdigit():
+            cores = int(master[6:-1])
+        shuffle_partitions = max(8, 2 * cores)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("HSIP_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,107 @@
+"""G5/G6 — SimHash fingerprints + Hamming-ball candidate probing.
+
+SimHash (Charikar, STOC 2002; web near-dup application: Manku/Jain/Das
+Sarma, WWW 2007): each token's 64-bit hash votes ±1 per bit position,
+weighted by term frequency; the sign vector packs into a 64-bit
+fingerprint. Token hashing stays JVM-side (xxhash64 inside transform);
+the Python crossing carries only array<long>, and the bit-vote is one
+numpy pass per Arrow batch (segmented reduceat — no per-row Python).
+
+Probing (Manku'07 §3, pigeonhole): for Hamming distance <= d, split the
+64 bits into d+1 blocks — two fingerprints within distance d agree
+exactly on at least one block. Self-equi-join per (block_id, block_bits)
+bucket generates candidates; bit_count(xor) <= d verifies (verify.py V3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .config import DedupConfig
+from .lsh import pairs_from_buckets
+from .normalize import norm_text_col, tokens_col
+
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _simhash_batch(arrs: pd.Series) -> pd.Series:
+    n = len(arrs)
+    if n == 0:
+        return pd.Series([], dtype=np.int64)
+    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    flat = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in arrs if len(x)]
+    ).view(np.uint64)
+    bits = ((flat[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
+    votes = bits * 2 - 1  # (tokens, 64) in {-1, +1}
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    # reduceat needs non-empty segments: clamp empty-row starts, zero after
+    seg_starts = np.minimum(starts, total - 1)
+    sums = np.add.reduceat(votes, seg_starts, axis=0)  # (n, 64)
+    sums[lens == 0] = 0
+    # rows whose (clamped) segment is empty because the row had 0 tokens
+    # already zeroed; rows after an empty row are still correct because
+    # reduceat segments are [starts[i], starts[i+1]) over the clamped array.
+    packed = ((sums > 0).astype(np.uint64) << _BIT_SHIFTS[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pd.Series(packed.view(np.int64))
+
+
+def attach_simhash(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
+    """(id, text) -> (id, simhash: long)."""
+    seed = cfg.seed
+    token_hashes = F.transform(
+        tokens_col(norm_text_col(text_col, cfg)),
+        lambda t: F.xxhash64(t, F.lit(seed)),
+    )
+
+    @pandas_udf(T.LongType())
+    def simhash64(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for arrs in it:
+            yield _simhash_batch(arrs)
+
+    return df.select(
+        F.col(id_col).cast("string").alias("id"),
+        simhash64(token_hashes).alias("simhash"),
+    )
+
+
+def hamming_block_table(simhash_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(id, simhash) -> (id, block_id, block_bits) pigeonhole blocks."""
+    nb = cfg.hamming_blocks
+    width = 64 // nb
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(nb)
+        ]
+    )
+    return simhash_df.select("id", F.posexplode(blocks).alias("block_id", "block_bits"))
+
+
+def simhash_candidates(simhash_df: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+    blocks = hamming_block_table(simhash_df, cfg).repartition("block_id", "block_bits")
+    return pairs_from_buckets(
+        blocks,
+        cfg.bucket_cap,
+        bucket_cols=("block_id", "block_bits"),
+        channel="simhash",
+    )
+
+
+def simhash_local(token_hash_sets: list[list[int]]) -> np.ndarray:
+    """Driver-local golden implementation for tests."""
+    return _simhash_batch(pd.Series([np.asarray(x) for x in token_hash_sets])).to_numpy()

