@@ -1,0 +1,193 @@
+"""End-to-end dedup pipeline: normalize -> block -> match -> cluster ->
+report — the five reference stages (SURVEY.md §0.1), each re-expressed
+Spark-first, wired with checkpoints + lineage + metrics.
+
+Two frontends:
+  run_documents(...)   — flat document table (id, text), fixture-friendly
+  run_transcripts(...) — the authoritative input shape (BASELINE.json:15):
+                         turn-version dedupe, reassembly under stable
+                         (conv_id, turn_idx) order, then the same engine.
+
+Every stage builds a logical plan; materialization happens only at the
+stage checkpoint write (or cache for ephemeral runs). Candidate channels:
+  minhash_lsh — Jaccard near-dups      (shingle -> MinHash -> LSH bands)
+  simhash     — near-identical text    (bit-vote fingerprint -> Hamming blocks)
+  substr      — long exact substrings  (winnowed rolling-hash fingerprints)
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import verify as V
+from .catalog import Catalog
+from .cc import assign_clusters, canonical_representatives
+from .checkpoint import Checkpointer
+from .config import DedupConfig
+from .lsh import lsh_candidates
+from .metrics import Recorder, StageTimer
+from .minhash import attach_minhash
+from .reassemble import dedupe_turn_versions, reassemble
+from .shingle import shingle_docs
+from .simhash import attach_simhash, simhash_candidates
+from .suffixes import fingerprint_table, substr_candidates, verify_substr
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame
+    verified: DataFrame
+    representatives: DataFrame
+    run_id: str
+    stats: dict = field(default_factory=dict)
+
+
+import logging
+import time
+
+_log = logging.getLogger("hsip.pipeline")
+
+
+def _ephemeral(df: DataFrame, name: str = "?") -> DataFrame:
+    # cache + materialize: stages are reused by multiple downstream joins
+    t0 = time.time()
+    df = df.cache()
+    n = df.count()
+    _log.info("stage %s: %d rows in %.2fs", name, n, time.time() - t0)
+    return df
+
+
+def run_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: DedupConfig,
+    channels: tuple[str, ...] = ("minhash_lsh", "simhash", "substr"),
+    warehouse: str | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
+) -> PipelineResult:
+    """Dedup a flat (id, text) table into clusters.
+
+    With ``warehouse`` set, every stage is checkpointed through the
+    Catalog and the run is resumable under the same run_id + config
+    fingerprint; without it, stages are cached in memory.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    fp = cfg.fingerprint()
+    use_ckpt = warehouse is not None
+    catalog = Catalog(spark, warehouse) if use_ckpt else None
+    ckpt = Checkpointer(catalog, run_id, fp, enabled=use_ckpt) if use_ckpt else None
+    rec = Recorder(spark, catalog, run_id) if use_ckpt else None
+
+    def stage(name: str, build):
+        if ckpt:
+            with StageTimer(rec, name):
+                out = ckpt.materialize(name, build)
+            rec.lineage(name, out, fp)
+            return out
+        return _ephemeral(build(), name)
+
+    base = docs.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+    )
+
+    stats: dict = {}
+    verified_parts: list[DataFrame] = []
+
+    if "minhash_lsh" in channels:
+        shingles = stage("shingles", lambda: shingle_docs(base, "id", "text", cfg))
+        sigs = stage("minhash", lambda: attach_minhash(shingles, cfg))
+
+        def build_lsh():
+            pairs, hot = lsh_candidates(sigs, cfg)
+            if rec:
+                n_hot = hot.count()
+                rec.metric("lsh_candidates", "hot_buckets_star_paired", n_hot)
+            return pairs
+
+        lsh_pairs = stage("lsh_candidates", build_lsh)
+        vj = stage(
+            "verify_jaccard", lambda: V.verify_jaccard(lsh_pairs, shingles, cfg)
+        )
+        verified_parts.append(vj)
+        stats["lsh_pairs"] = lsh_pairs.count()
+
+    if "simhash" in channels:
+        simhashes = stage("simhash", lambda: attach_simhash(base, "id", "text", cfg))
+
+        def build_sim():
+            pairs, hot = simhash_candidates(simhashes, cfg)
+            if rec:
+                rec.metric("simhash_candidates", "hot_buckets_star_paired", hot.count())
+            return pairs
+
+        sim_pairs = stage("simhash_candidates", build_sim)
+        vh = stage(
+            "verify_hamming", lambda: V.verify_hamming(sim_pairs, simhashes, cfg)
+        )
+        verified_parts.append(vh)
+        stats["simhash_pairs"] = sim_pairs.count()
+
+    if "substr" in channels:
+        fps = stage("substr_fps", lambda: fingerprint_table(base, "id", "text", cfg))
+
+        def build_substr():
+            pairs, hot = substr_candidates(fps, cfg)
+            if rec:
+                rec.metric("substr_candidates", "hot_fingerprints_star_paired", hot.count())
+            return pairs
+
+        sub_pairs = stage("substr_candidates", build_substr)
+        vs = stage(
+            "verify_substr",
+            lambda: verify_substr(sub_pairs, base, "id", "text", cfg),
+        )
+        verified_parts.append(vs)
+        stats["substr_pairs"] = sub_pairs.count()
+
+    verified = stage("verified", lambda: V.combine_verified(*verified_parts))
+    clusters = stage(
+        "clusters", lambda: assign_clusters(base, V.edges(verified), id_col="id")
+    )
+    reps = stage("representatives", lambda: canonical_representatives(clusters))
+
+    if rec:
+        rec.metric("pipeline", "n_docs", base.count())
+        rec.metric("pipeline", "n_verified_edges", verified.filter("verdict").count())
+        rec.flush()
+        stats["skipped_stages"] = list(ckpt.skipped)
+        stats["computed_stages"] = list(ckpt.computed)
+
+    return PipelineResult(
+        clusters=clusters, verified=verified, representatives=reps,
+        run_id=run_id, stats=stats,
+    )
+
+
+def run_transcripts(
+    spark: SparkSession,
+    turns: DataFrame,
+    cfg: DedupConfig,
+    channels: tuple[str, ...] = ("minhash_lsh", "simhash", "substr"),
+    warehouse: str | None = None,
+    run_id: str | None = None,
+) -> PipelineResult:
+    """Authoritative frontend: turn-level input (BASELINE.json:15 shape).
+
+    C1 turn-version dedupe -> C2 reassembly (stable order) -> document
+    engine over doc_text, one row per conversation. conv_id partitioning:
+    the groupBy(conv_id) in reassembly is the single shuffle that
+    co-locates turns; everything downstream keys on conv_id.
+    """
+    deduped = dedupe_turn_versions(turns)
+    convs = reassemble(deduped).select("conv_id", "doc_text")
+    return run_documents(
+        spark, convs, "conv_id", "doc_text", cfg,
+        channels=channels, warehouse=warehouse, run_id=run_id,
+    )

@@ -15,10 +15,15 @@ from .config import DedupConfig
 from .normalize import norm_text_col, tokens_col
 
 
-def shingles_col(norm: Column, cfg: DedupConfig) -> Column:
-    """Array<Long> of distinct hashed token k-grams of a normalized string."""
+def shingles_col(toks: Column, norm: Column, cfg: DedupConfig) -> Column:
+    """Array<Long> of distinct hashed token k-grams.
+
+    ``toks`` MUST be a materialized column reference (not an expression
+    tree): expressions referenced inside a higher-order-function lambda
+    are re-evaluated per array element, which turns an O(n) shingle pass
+    into O(n^2) regex evaluations for long documents.
+    """
     k = cfg.shingle_k
-    toks = tokens_col(norm)
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), n - k),
@@ -29,8 +34,19 @@ def shingles_col(norm: Column, cfg: DedupConfig) -> Column:
 
 
 def shingle_docs(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
-    """(id, text) -> (id, shingles: array<long>). Column-pruned scan upstream."""
-    return df.select(
+    """(id, text) -> (id, shingles: array<long>). Column-pruned scan upstream.
+
+    Two projections on purpose: tokens are bound to a column first so the
+    k-gram lambda reads a row field instead of re-running normalization
+    per element (CollapseProject keeps them separate because the alias is
+    referenced more than once).
+    """
+    normed = df.select(
         F.col(id_col).cast("string").alias("id"),
-        shingles_col(norm_text_col(text_col, cfg), cfg).alias("shingles"),
+        norm_text_col(text_col, cfg).alias("_norm"),
+    )
+    tokenized = normed.select("id", "_norm", tokens_col(F.col("_norm")).alias("_toks"))
+    return tokenized.select(
+        "id",
+        shingles_col(F.col("_toks"), F.col("_norm"), cfg).alias("shingles"),
     )
