@@ -1,38 +1,831 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full 3-channel near-duplicate clustering of the
+                 sf0.001 ``documents`` fixture (SURVEY.md §7 M1/M6).
+queries()      — one entry per implemented operator from SURVEY.md §2,
+                 each (spark, sf_dir) -> DataFrame.
+oracle_sql()   — matching ANSI SQL for DuckDB on the same parquet views.
+                 Column names/aliases match the Spark output exactly; float
+                 aggregates are rounded onto the decimal grid the exact
+                 value lies on so both engines land on the same number.
+Rows-only entries (hash-based dedup channels, iterative CC, sampling) have
+no oracle_sql — the driver records the weaker rows-only check for those.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _norm(col):
+    # keep in lockstep with the DuckDB expression _NORM_SQL below
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+_NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 3-channel dedup of sf0.001 documents -> cluster table."""
+    from hsip.config import DedupConfig
+    from hsip.pipeline import run_documents
 
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    cfg = DedupConfig(jaccard_threshold=0.7)
+    res = run_documents(spark, docs, "doc_id", "text", cfg)
+    return res.clusters.join(
+        res.representatives, "cluster_id"
+    ).select("id", "cluster_id", "cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (SURVEY.md §2.7 Q1-Q17)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    w = W.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("l_orderkey", "revenue", "rk")
+    )
+
+
+def q5_region_order_volume(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def outer_join_customer_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def anti_join_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def semi_join_parts_ordered(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+def rollup_order_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+def pivot_returnflag_linestatus(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("n_finished"),
+    )
+
+
+def window_top2_per_order(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "rn")
+    )
+
+
+def window_running_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 3)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+def latest_order_per_customer(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+def setop_nation_overlap(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp).unionByName(
+        cust.distinct().exceptAll(supp.distinct()).withColumn(
+            "nationkey", F.col("nationkey") + 1000
+        )
+    )
+
+
+def distinct_parts_per_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def crossjoin_region_priority(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").select("r_name")
+    prio = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return region.crossJoin(prio)
+
+
+def topk_expensive_lineitems(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(15)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: timestamps, JSON, windows, range join (R6, R7, Q9, Q12-13)
+# ---------------------------------------------------------------------------
+
+def events_daily_rollup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def events_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def events_user_gaps(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> session-UTC epoch
+    gaps = ev.withColumn("gap_sec", epoch - F.lag(epoch).over(w))
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
+        F.max("gap_sec").alias("max_gap_sec"),
+    )
+
+
+def events_burst_pairs(spark, sf_dir):
+    """Range join: same-user event pairs within 60 seconds (Q9 theta join)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.event_id") > F.col("a.event_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (
+            F.col("b.ts").cast("timestamp").cast("long")
+            - F.col("a.ts").cast("timestamp").cast("long")
+            <= 60
+        ),
+    )
+    return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_burst_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: normalization, dedup oracles, text analysis (R2-R3, G1, X2)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("norm")
+    return (
+        docs.withColumn("norm", _norm(F.col("text")))
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("cluster_id"),
+            F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        )
+    )
+
+
+def dedup_exact_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn("h", F.md5(_norm(F.col("text"))))
+    a, b = docs.alias("a"), docs.alias("b")
+    return a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+
+
+def token_jaccard_pairs(spark, sf_dir):
+    """Blocked n-gram-Jaccard matching, fully SQL-expressible (V2 oracle)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split(_norm(F.col("text")), " ")).alias("toks"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(
+            F.size(F.array_intersect("a.toks", "b.toks"))
+            / F.size(F.array_union("a.toks", "b.toks")),
+            6,
+        ).alias("jaccard"),
+    )
+    return pairs.filter(F.col("jaccard") >= 0.5)
+
+
+def doc_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(_norm(F.col("text")), " ")).cast("long").alias("n_tokens"),
+        F.length(_norm(F.col("text"))).cast("long").alias("n_chars_norm"),
+        F.size(F.array_distinct(F.split(_norm(F.col("text")), " ")))
+        .cast("long")
+        .alias("n_distinct_tokens"),
+    )
+
+
+def lang_profile(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+def doc_quality_scores(spark, sf_dir):
+    """Quality scoring: lexical diversity + length score (text analysis)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(_norm(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("diversity"),
+        F.when(F.col("n_chars") >= 300, "long")
+        .when(F.col("n_chars") >= 150, "medium")
+        .otherwise("short")
+        .alias("length_class"),
+    )
+
+
+def doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fingerprint"))
+
+
+def shingle_counts(spark, sf_dir):
+    """G1 oracle without engine-specific hashing: distinct 3-gram counts."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(_norm(F.col("text")), " ").alias("toks")
+    )
+    k = 3
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - k),
+        lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.size("toks") >= k, F.size(F.array_distinct(grams)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_shingles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search (brute-force cosine top-k baseline)
+# ---------------------------------------------------------------------------
+
+def embedding_topk_neighbors(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(q, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    nq = F.expr(
+        "sqrt(aggregate(q, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    nd = F.expr(
+        "sqrt(aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", (dot / (nq * nd)).alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def embedding_label_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(aggregate(embedding, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only checks (hash-specific / iterative / sampling — no SQL oracle)
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_clusters(spark, sf_dir):
+    from hsip.config import DedupConfig
+    from hsip.pipeline import run_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    res = run_documents(
+        spark, docs, "doc_id", "text",
+        DedupConfig(jaccard_threshold=0.7), channels=("minhash_lsh",),
+    )
+    return res.clusters
+
+
+def simhash_hamming_pairs(spark, sf_dir):
+    from hsip.config import DedupConfig
+    from hsip.simhash import attach_simhash, simhash_candidates
+    from hsip.verify import verify_hamming
+
+    cfg = DedupConfig()
+    docs = _t(spark, sf_dir, "documents")
+    sims = attach_simhash(docs, "doc_id", "text", cfg)
+    pairs, _ = simhash_candidates(sims, cfg)
+    return verify_hamming(pairs, sims, cfg).filter("verdict").select("a", "b", "hamming")
+
+
+def substr_duplicate_spans(spark, sf_dir):
+    from hsip.config import DedupConfig
+    from hsip.suffixes import fingerprint_table, substr_candidates, verify_substr
+
+    cfg = DedupConfig(min_substr_len=120, winnow_window=30)
+    docs = _t(spark, sf_dir, "documents")
+    fps = fingerprint_table(docs, "doc_id", "text", cfg)
+    pairs, _ = substr_candidates(fps, cfg)
+    return (
+        verify_substr(pairs, docs, "doc_id", "text", cfg)
+        .filter("verdict")
+        .select("a", "b", "substr_len")
+    )
+
+
+def transcript_dedup_clusters(spark, sf_dir):
+    """Full transcript pipeline on the seeded synthetic corpus (S7)."""
+    from hsip.config import DedupConfig
+    from hsip.fixtures.gen import gen_transcripts, to_spark
+    from hsip.pipeline import run_transcripts
+
+    gen = gen_transcripts(seed=42, n_base=150)
+    turns, _ = to_spark(spark, gen)
+    return run_transcripts(spark, turns, DedupConfig()).clusters
+
+
+def approx_distinct_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+def sampled_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational (Q1-Q17)
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q5_region_order_volume": q5_region_order_volume,
+        "outer_join_customer_orders": outer_join_customer_orders,
+        "anti_join_customers_without_orders": anti_join_customers_without_orders,
+        "semi_join_parts_ordered": semi_join_parts_ordered,
+        "rollup_order_counts": rollup_order_counts,
+        "pivot_returnflag_linestatus": pivot_returnflag_linestatus,
+        "window_top2_per_order": window_top2_per_order,
+        "window_running_quantity": window_running_quantity,
+        "latest_order_per_customer": latest_order_per_customer,
+        "setop_nation_overlap": setop_nation_overlap,
+        "distinct_parts_per_supplier": distinct_parts_per_supplier,
+        "crossjoin_region_priority": crossjoin_region_priority,
+        "topk_expensive_lineitems": topk_expensive_lineitems,
+        # events
+        "events_daily_rollup": events_daily_rollup,
+        "events_json_extract": events_json_extract,
+        "events_user_gaps": events_user_gaps,
+        "events_burst_pairs": events_burst_pairs,
+        # documents / text analysis / dedup oracles
+        "dedup_exact_clusters": dedup_exact_clusters,
+        "dedup_exact_pairs": dedup_exact_pairs,
+        "token_jaccard_pairs": token_jaccard_pairs,
+        "doc_stats": doc_stats,
+        "lang_profile": lang_profile,
+        "doc_quality_scores": doc_quality_scores,
+        "doc_fingerprints": doc_fingerprints,
+        "shingle_counts": shingle_counts,
+        # embeddings / similarity search
+        "embedding_topk_neighbors": embedding_topk_neighbors,
+        "embedding_label_stats": embedding_label_stats,
+        # rows-only
+        "minhash_lsh_clusters": minhash_lsh_clusters,
+        "simhash_hamming_pairs": simhash_hamming_pairs,
+        "substr_duplicate_spans": substr_duplicate_spans,
+        "transcript_dedup_clusters": transcript_dedup_clusters,
+        "approx_distinct_parts": approx_distinct_parts,
+        "sampled_orders": sampled_orders,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_text = _NORM_SQL.format(c="text")
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            WITH rev AS (
+                SELECT l_orderkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                WHERE c_mktsegment = 'BUILDING'
+                GROUP BY l_orderkey
+            )
+            SELECT l_orderkey, revenue, rk FROM (
+                SELECT l_orderkey, revenue,
+                       row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rk
+                FROM rev
+            ) WHERE rk <= 10
+        """,
+        "q5_region_order_volume": """
+            SELECT r_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "outer_join_customer_orders": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "anti_join_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "semi_join_parts_ordered": """
+            SELECT p_partkey, p_brand FROM part
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_partkey = p_partkey AND l_quantity >= 45
+            )
+        """,
+        "rollup_order_counts": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "pivot_returnflag_linestatus": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                   CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "window_top2_per_order": """
+            SELECT l_orderkey, l_linenumber, rn FROM (
+                SELECT l_orderkey, l_linenumber,
+                       row_number() OVER (
+                           PARTITION BY l_orderkey
+                           ORDER BY l_extendedprice DESC, l_linenumber
+                       ) AS rn
+                FROM lineitem
+            ) WHERE rn <= 2
+        """,
+        "window_running_quantity": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   round(sum(l_quantity) OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_qty
+            FROM lineitem WHERE l_suppkey <= 3
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_orderdate FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "setop_nation_overlap": """
+            SELECT nationkey FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                INTERSECT
+                SELECT s_nationkey FROM supplier
+            )
+            UNION ALL
+            SELECT nationkey + 1000 FROM (
+                SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                EXCEPT
+                SELECT DISTINCT s_nationkey FROM supplier
+            )
+        """,
+        "distinct_parts_per_supplier": """
+            SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "crossjoin_region_priority": """
+            SELECT r_name, o_orderpriority
+            FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+        """,
+        "topk_expensive_lineitems": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 15
+        """,
+        "events_daily_rollup": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_json_extract": """
+            SELECT event_type,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+                   max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "events_user_gaps": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   round(avg(gap_sec), 4) AS avg_gap_sec,
+                   max(gap_sec) AS max_gap_sec
+            FROM (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_sec
+                FROM events
+            ) GROUP BY user_id
+        """,
+        "events_burst_pairs": """
+            SELECT a.user_id AS user_id, count(*) AS n_burst_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.event_id > a.event_id
+             AND b.ts >= a.ts
+             AND CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) <= 60
+            GROUP BY a.user_id
+        """,
+        "dedup_exact_clusters": f"""
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY norm) AS cluster_id,
+                   CAST(count(*) OVER (PARTITION BY norm) AS BIGINT) AS cluster_size
+            FROM (SELECT doc_id, {norm_text} AS norm FROM documents)
+        """,
+        "dedup_exact_pairs": f"""
+            WITH h AS (SELECT doc_id, md5({norm_text}) AS hh FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
+        """,
+        "token_jaccard_pairs": f"""
+            WITH d AS (
+                SELECT doc_id, lang, source,
+                       list_distinct(string_split({norm_text}, ' ')) AS toks
+                FROM documents
+            )
+            SELECT * FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(
+                           len(list_intersect(a.toks, b.toks)) * 1.0
+                           / len(list_distinct(list_concat(a.toks, b.toks))), 6
+                       ) AS jaccard
+                FROM d a JOIN d b
+                  ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.5
+        """,
+        "doc_stats": f"""
+            SELECT doc_id,
+                   CAST(len(string_split({norm_text}, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length({norm_text}) AS BIGINT) AS n_chars_norm,
+                   CAST(len(list_distinct(string_split({norm_text}, ' '))) AS BIGINT)
+                       AS n_distinct_tokens
+            FROM documents
+        """,
+        "lang_profile": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "doc_quality_scores": f"""
+            SELECT doc_id,
+                   round(
+                       len(list_distinct(string_split({norm_text}, ' '))) * 1.0
+                       / len(string_split({norm_text}, ' ')), 6
+                   ) AS diversity,
+                   CASE WHEN n_chars >= 300 THEN 'long'
+                        WHEN n_chars >= 150 THEN 'medium'
+                        ELSE 'short' END AS length_class
+            FROM documents
+        """,
+        "doc_fingerprints": f"""
+            SELECT doc_id, md5({norm_text}) AS fingerprint FROM documents
+        """,
+        "shingle_counts": f"""
+            WITH t AS (SELECT doc_id, string_split({norm_text}, ' ') AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(CASE WHEN len(toks) >= 3 THEN len(list_distinct(
+                       list_transform(
+                           range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i:i+2], ' ')
+                       )
+                   )) ELSE 0 END AS BIGINT) AS n_shingles
+            FROM t
+        """,
+        "embedding_topk_neighbors": """
+            WITH probes AS (
+                SELECT vec_id AS q_id, embedding AS q FROM embeddings
+                WHERE vec_id < 20
+            ),
+            scored AS (
+                SELECT p.q_id, e.vec_id,
+                       list_dot_product(p.q, e.embedding)
+                       / (sqrt(list_dot_product(p.q, p.q))
+                          * sqrt(list_dot_product(e.embedding, e.embedding)))
+                           AS cos
+                FROM probes p CROSS JOIN embeddings e
+                WHERE e.vec_id <> p.q_id
+            )
+            SELECT q_id, vec_id AS neighbor_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY q_id ORDER BY cos DESC, vec_id
+                       ) AS rk
+                FROM scored
+            ) WHERE rk <= 3
+        """,
+        "embedding_label_stats": """
+            SELECT label, count(*) AS n,
+                   round(avg(sqrt(list_dot_product(embedding, embedding))), 4)
+                       AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+    }

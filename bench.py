@@ -1,0 +1,123 @@
+"""Per-round benchmark harness (driver contract, TESTDATA.md).
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32) and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workloads:
+  doc_dedup_3ch     — full 3-channel near-dup clustering of ``documents``
+  transcript_dedup  — transcript pipeline on the seeded synthetic corpus
+                      (cached to .bench_cache as parquet; generation cost
+                      is excluded — the metric is engine throughput)
+  q1 / q3 / window  — relational representatives on lineitem/orders
+  embedding_topk    — brute-force cosine top-k over ``embeddings``
+
+Scaling protocol (N -> 4N evidence, BASELINE.md): bench/scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_BASE = int(os.environ.get("HSIP_BENCH_NBASE", "2000"))
+
+
+def _transcripts_path() -> str:
+    """Seeded synthetic transcript corpus, generated once and cached."""
+    path = os.path.join(REPO, ".bench_cache", f"transcripts_n{N_BASE}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from hsip.fixtures.gen import gen_transcripts
+
+        os.makedirs(path, exist_ok=True)
+        gen = gen_transcripts(seed=42, n_base=N_BASE)
+        pdf = gen.transcripts
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't read ns INT64
+        pdf.to_parquet(os.path.join(path, "part0.parquet"), index=False)
+        with open(os.path.join(path, "_SUCCESS"), "w") as f:
+            f.write("ok")
+    return path
+
+
+def run(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as E
+    from hsip import schemas
+    from hsip.config import DedupConfig
+    from hsip.pipeline import run_documents, run_transcripts
+
+    tpath = _transcripts_path()
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # 1. document 3-channel dedup (the flagship at bench scale)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cfg = DedupConfig(jaccard_threshold=0.7)
+    n_docs = docs.count()
+    res = timed(
+        "doc_dedup_3ch",
+        lambda: run_documents(spark, docs, "doc_id", "text", cfg),
+    )
+    extras["doc_dedup_docs_per_sec"] = round(n_docs / timings["doc_dedup_3ch"], 1)
+    extras["doc_dedup_n_clustered"] = res.verified.filter("verdict").count()
+
+    # 2. transcript pipeline (turns/sec is the headline unit, BASELINE.json:2)
+    turns = spark.read.schema(schemas.TRANSCRIPTS).parquet(tpath)
+    turns = turns.cache()
+    n_turns = turns.count()
+    tres = timed(
+        "transcript_dedup", lambda: run_transcripts(spark, turns, DedupConfig())
+    )
+    extras["transcript_turns"] = n_turns
+    extras["transcript_turns_per_sec"] = round(n_turns / timings["transcript_dedup"], 1)
+    turns.unpersist()
+
+    # 3. relational representatives
+    timed("q1_pricing_summary", lambda: E.q1_pricing_summary(spark, sf_dir).collect())
+    timed("q3_top_revenue_orders", lambda: E.q3_top_revenue_orders(spark, sf_dir).collect())
+    timed("window_top2_per_order", lambda: E.window_top2_per_order(spark, sf_dir).count())
+    timed("events_burst_pairs", lambda: E.events_burst_pairs(spark, sf_dir).collect())
+
+    # 4. similarity search
+    timed(
+        "embedding_topk_neighbors",
+        lambda: E.embedding_topk_neighbors(spark, sf_dir).count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_workloads_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "extras": extras,
+        "cpus": CPUS,
+    }
+
+
+def main():
+    from hsip.session import get_spark
+
+    spark = get_spark(app_name="hsip-bench", master=f"local[{CPUS}]")
+    try:
+        result = run(spark, SF_DIR)
+    finally:
+        spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,10 +46,18 @@ def _coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 def _sig_batch(arrs: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
     """Vectorized MinHash for one Arrow batch of shingle arrays."""
     num_perm = len(a)
-    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
     if len(arrs) == 0:
         return pd.Series([], dtype=object)
-    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrs]) if lens.sum() else np.array([], dtype=np.int64)
+    lens = np.fromiter(
+        (0 if x is None else len(x) for x in arrs), dtype=np.int64, count=len(arrs)
+    )
+    flat = (
+        np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in arrs if x is not None and len(x)]
+        )
+        if lens.sum()
+        else np.array([], dtype=np.int64)
+    )
     flat = flat.view(np.uint64)
     out = np.empty((len(arrs), num_perm), dtype=np.uint64)
     # segment boundaries within the flat array
@@ -69,10 +77,16 @@ def _sig_batch(arrs: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
         seg = flat[lo:hi]
         if len(seg):
             h = (a[:, None] * seg[None, :] + b[:, None]) % _MERSENNE  # (P, S)
-            local_starts = (starts[row:end] - lo).astype(np.int64)
-            # empty rows would break reduceat; config guarantees >=1 shingle
+            # clamp starts for empty segments (rows with 0 shingles), then
+            # overwrite those rows with the sentinel below
+            local_starts = np.minimum(
+                (starts[row:end] - lo).astype(np.int64), len(seg) - 1
+            )
             mins = np.minimum.reduceat(h, local_starts, axis=1)  # (P, rows)
             out[row:end] = mins.T
+            empty = lens[row:end] == 0
+            if empty.any():
+                out[row:end][empty] = _MERSENNE
         else:
             out[row:end] = _MERSENNE
         row = end

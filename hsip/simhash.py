@@ -35,12 +35,14 @@ def _simhash_batch(arrs: pd.Series) -> pd.Series:
     n = len(arrs)
     if n == 0:
         return pd.Series([], dtype=np.int64)
-    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n)
+    lens = np.fromiter(
+        (0 if x is None else len(x) for x in arrs), dtype=np.int64, count=n
+    )
     total = int(lens.sum())
     if total == 0:
         return pd.Series(np.zeros(n, dtype=np.int64))
     flat = np.concatenate(
-        [np.asarray(x, dtype=np.int64) for x in arrs if len(x)]
+        [np.asarray(x, dtype=np.int64) for x in arrs if x is not None and len(x)]
     ).view(np.uint64)
     bits = ((flat[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
     votes = bits * 2 - 1  # (tokens, 64) in {-1, +1}

@@ -1,0 +1,81 @@
+"""X1/X2 micro-graph goldens (FIXTURES.md §3): chain, star, two components,
+self-loop, duplicate edges, empty set; plus a random-graph oracle check."""
+
+import numpy as np
+
+from hsip.cc import assign_clusters, canonical_representatives, connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "a string, b string")
+    return {r.id: r.cluster_id for r in connected_components(df).collect()}
+
+
+def test_chain(spark):
+    got = _cc(spark, [("1", "2"), ("2", "3"), ("3", "4"), ("4", "5")])
+    assert got == {str(i): "1" for i in range(1, 6)}
+
+
+def test_star(spark):
+    got = _cc(spark, [("9", str(i)) for i in range(1, 5)])
+    assert got == {"9": "1", "1": "1", "2": "1", "3": "1", "4": "1"}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_self_loop_and_duplicates(spark):
+    got = _cc(spark, [("a", "a"), ("a", "b"), ("b", "a"), ("a", "b")])
+    assert got == {"a": "a", "b": "a"}
+
+
+def test_empty(spark):
+    df = spark.createDataFrame([], "a string, b string")
+    assert connected_components(df).count() == 0
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = np.random.default_rng(13)
+    n = 200
+    edges = [(f"n{a:03d}", f"n{b:03d}") for a, b in rng.integers(0, n, size=(150, 2))]
+    # driver-side union-find oracle
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rng.integers(0, n, size=(150, 2)):
+        pass
+    for e in edges:
+        a, b = int(e[0][1:]), int(e[1][1:])
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for i in range(n):
+        want[f"n{i:03d}"] = f"n{find(i):03d}"
+    got = _cc(spark, [e for e in edges if e[0] != e[1]])
+    for node, root in got.items():
+        assert want[node] == root
+
+
+def test_assign_clusters_singletons(spark):
+    ids = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    edges = spark.createDataFrame([("a", "b")], "a string, b string")
+    got = {r.id: r.cluster_id for r in assign_clusters(ids, edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_representatives(spark):
+    ids = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    edges = spark.createDataFrame([("b", "c")], "a string, b string")
+    reps = {
+        r.cluster_id: (r.representative, r.cluster_size)
+        for r in canonical_representatives(assign_clusters(ids, edges)).collect()
+    }
+    assert reps == {"a": ("a", 1), "b": ("b", 2)}

@@ -1,0 +1,77 @@
+"""G3/G4: band arithmetic, bucket pairing, hot-bucket star mode, S-curve."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hsip import schemas
+from hsip.config import DedupConfig
+from hsip.lsh import band_table, lsh_candidates, pairs_from_buckets
+from hsip.minhash import minhash_signatures_local
+
+
+def test_band_count(spark):
+    cfg = DedupConfig(num_perm=8, lsh_bands=4, lsh_rows=2)
+    df = spark.createDataFrame([("x", list(range(8)))], schema=schemas.MINHASH_SIGS)
+    bands = band_table(df, cfg).collect()
+    assert len(bands) == 4
+    assert sorted(r.band_id for r in bands) == [0, 1, 2, 3]
+
+
+def test_identical_sigs_all_bands_collide(spark):
+    cfg = DedupConfig(num_perm=8, lsh_bands=4, lsh_rows=2)
+    sig = [5, 6, 7, 8, 9, 10, 11, 12]
+    df = spark.createDataFrame(
+        [("a", sig), ("b", list(sig))], schema=schemas.MINHASH_SIGS
+    )
+    pairs, hot = lsh_candidates(df, cfg)
+    assert [(r.a, r.b) for r in pairs.collect()] == [("a", "b")]
+    assert hot.count() == 0
+
+
+def test_bucket_pairing_small(spark):
+    rows = [("a", 0, 1), ("b", 0, 1), ("c", 0, 1), ("d", 0, 2)]
+    df = spark.createDataFrame(rows, "id string, band_id int, band_hash long")
+    pairs, hot = pairs_from_buckets(df, cap=10)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert hot.count() == 0
+
+
+def test_hot_bucket_star_pairing(spark):
+    rows = [(f"id{i:02d}", 0, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "id string, band_id int, band_hash long")
+    pairs, hot = pairs_from_buckets(df, cap=5)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    # star: everyone connects to min id — O(m) edges, one component
+    assert got == {("id00", f"id{i:02d}") for i in range(1, 10)}
+    assert hot.count() == 1
+
+
+def test_s_curve_candidate_probability(spark):
+    """P(candidate) ~ 1-(1-s^r)^b on seeded pairs (SURVEY.md §5.4)."""
+    cfg = DedupConfig(num_perm=64, lsh_bands=16, lsh_rows=4, bucket_cap=10_000)
+    rng = np.random.default_rng(11)
+    s = 0.7
+    n_pairs = 60
+    sets, ids = [], []
+    for i in range(n_pairs):
+        size = 300
+        n_shared = int(size * 2 * s / (1 + s))
+        shared = rng.integers(-(2**62), 2**62, size=n_shared).tolist()
+        sets.append(shared + rng.integers(-(2**62), 2**62, size=size - n_shared).tolist())
+        sets.append(shared + rng.integers(-(2**62), 2**62, size=size - n_shared).tolist())
+        ids.extend([f"p{i:03d}_a", f"p{i:03d}_b"])
+    sigs = minhash_signatures_local(sets, cfg)
+    df = spark.createDataFrame(
+        [(ids[i], [int(x) for x in sigs[i]]) for i in range(len(ids))],
+        schema=schemas.MINHASH_SIGS,
+    )
+    pairs, _ = lsh_candidates(df, cfg)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    hits = sum(
+        1 for i in range(n_pairs) if (f"p{i:03d}_a", f"p{i:03d}_b") in got
+    )
+    expect = 1 - (1 - s**cfg.lsh_rows) ** cfg.lsh_bands  # ~0.993 at s=0.7
+    # binomial 3-sigma band
+    sigma = np.sqrt(n_pairs * expect * (1 - expect))
+    assert abs(hits - n_pairs * expect) < 3 * sigma + 2

@@ -1,0 +1,66 @@
+"""G2 property tests (SURVEY.md §5.4): MinHash unbiasedness, determinism,
+Spark/local golden equality."""
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from hsip import schemas
+from hsip.config import DedupConfig
+from hsip.minhash import attach_minhash, minhash_signatures_local
+
+
+def _sets_with_jaccard(rng, jaccard, size=400):
+    n_shared = int(size * 2 * jaccard / (1 + jaccard))
+    shared = rng.integers(-(2**62), 2**62, size=n_shared).tolist()
+    only_a = rng.integers(-(2**62), 2**62, size=size - n_shared).tolist()
+    only_b = rng.integers(-(2**62), 2**62, size=size - n_shared).tolist()
+    return shared + only_a, shared + only_b
+
+
+@pytest.mark.parametrize("jacc", [0.3, 0.6, 0.9])
+def test_unbiasedness(jacc):
+    """Mean signature agreement ~= Jaccard (Broder'97), CLT tolerance."""
+    cfg = DedupConfig(num_perm=256)
+    rng = np.random.default_rng(7)
+    agreements = []
+    for _ in range(8):
+        a, b = _sets_with_jaccard(rng, jacc)
+        true_j = len(set(a) & set(b)) / len(set(a) | set(b))
+        sa, sb = minhash_signatures_local([a, b], cfg)
+        agreements.append((np.array(sa) == np.array(sb)).mean() - true_j)
+    bias = float(np.mean(agreements))
+    assert abs(bias) < 3 * 0.5 / np.sqrt(256 * 8)  # 3 sigma
+
+
+def test_spark_matches_local(spark):
+    cfg = DedupConfig(num_perm=64)
+    rng = np.random.default_rng(3)
+    sets = [rng.integers(-(2**62), 2**62, size=50).tolist() for _ in range(20)]
+    df = spark.createDataFrame(
+        [(str(i), s) for i, s in enumerate(sets)], schema=schemas.SHINGLES
+    )
+    got = {r.id: list(r.sig) for r in attach_minhash(df, cfg).collect()}
+    want = minhash_signatures_local(sets, cfg)
+    for i in range(20):
+        assert got[str(i)] == list(want[i])
+
+
+def test_partitioning_invariance(spark):
+    """Signatures identical under repartition(1) vs repartition(7)."""
+    cfg = DedupConfig(num_perm=32)
+    rng = np.random.default_rng(5)
+    sets = [rng.integers(-(2**62), 2**62, size=30).tolist() for _ in range(50)]
+    df = spark.createDataFrame(
+        [(str(i), s) for i, s in enumerate(sets)], schema=schemas.SHINGLES
+    )
+    a = {r.id: tuple(r.sig) for r in attach_minhash(df.repartition(1), cfg).collect()}
+    b = {r.id: tuple(r.sig) for r in attach_minhash(df.repartition(7), cfg).collect()}
+    assert a == b
+
+
+def test_identical_sets_identical_sigs():
+    cfg = DedupConfig(num_perm=128)
+    s = list(range(100, 400))
+    sa, sb = minhash_signatures_local([s, list(s)], cfg)
+    assert list(sa) == list(sb)

@@ -1,0 +1,104 @@
+"""§5.5 end-to-end: planted-duplicate recall >= 0.99, per-turn equality,
+partitioning invariance, resume-from-checkpoint."""
+
+import shutil
+
+import pytest
+
+from hsip.config import DedupConfig
+from hsip.fixtures.gen import gen_transcripts, to_spark, truth_pairs
+from hsip.pipeline import run_documents, run_transcripts
+from hsip.recall import cluster_pairs, evaluate_pairs
+from hsip.reassemble import audit_turn_equality, dedupe_turn_versions, explode_turns, reassemble
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    gen = gen_transcripts(seed=42, n_base=150)
+    turns, truth = to_spark(spark, gen)
+    return turns.cache(), truth.cache()
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    turns, _ = corpus
+    return run_transcripts(spark, turns, DedupConfig())
+
+
+def test_recall_against_planted_truth(spark, corpus, result):
+    _, truth = corpus
+    ours = cluster_pairs(result.clusters)
+    ev, missed = evaluate_pairs(ours, truth_pairs(truth))
+    assert ev.recall >= 0.99, f"recall {ev.recall}: missed {missed.collect()[:10]}"
+    assert ev.precision >= 0.95
+
+
+def test_hotband_not_merged(spark, corpus, result):
+    """Boilerplate-sharing conversations must NOT cluster together."""
+    _, truth = corpus
+    hot_ids = {r.conv_id for r in truth.filter("dup_kind = 'hotband'").collect()}
+    rows = result.clusters.collect()
+    by_cluster = {}
+    for r in rows:
+        if r.id in hot_ids:
+            by_cluster.setdefault(r.cluster_id, []).append(r.id)
+    biggest = max(len(v) for v in by_cluster.values())
+    assert biggest <= 2, f"hotband merged: cluster of {biggest}"
+
+
+def test_per_turn_text_equality_invariant(spark, corpus):
+    turns, _ = corpus
+    deduped = dedupe_turn_versions(turns)
+    ours = explode_turns(reassemble(deduped))
+    assert audit_turn_equality(ours, deduped).count() == 0
+    assert audit_turn_equality(deduped, ours).count() == 0
+
+
+def test_clusters_invariant_under_repartitioning(spark, corpus):
+    turns, _ = corpus
+    cfg = DedupConfig()
+    r1 = run_transcripts(spark, turns.repartition(1), cfg)
+    r17 = run_transcripts(spark, turns.repartition(17), cfg)
+    a = {(r.id, r.cluster_id) for r in r1.clusters.collect()}
+    b = {(r.id, r.cluster_id) for r in r17.clusters.collect()}
+    assert a == b
+
+
+def test_resume_from_checkpoint(spark, corpus, tmp_path_factory):
+    """Kill-and-resume equals single run; completed stages are skipped."""
+    turns, _ = corpus
+    cfg = DedupConfig()
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    docs = reassemble(dedupe_turn_versions(turns)).select("conv_id", "doc_text")
+    r1 = run_documents(
+        spark, docs, "conv_id", "doc_text", cfg,
+        channels=("minhash_lsh",), warehouse=wh, run_id="runA",
+    )
+    first = {(r.id, r.cluster_id) for r in r1.clusters.collect()}
+    assert r1.stats["computed_stages"], "first run must compute stages"
+    # simulate partial failure: drop the final stages, keep early ones
+    shutil.rmtree(f"{wh}/ckpt/runA/clusters")
+    shutil.rmtree(f"{wh}/ckpt/runA/verified")
+    r2 = run_documents(
+        spark, docs, "conv_id", "doc_text", cfg,
+        channels=("minhash_lsh",), warehouse=wh, run_id="runA",
+    )
+    assert "shingles" in r2.stats["skipped_stages"]
+    assert "clusters" in r2.stats["computed_stages"]
+    second = {(r.id, r.cluster_id) for r in r2.clusters.collect()}
+    assert first == second
+
+
+def test_config_change_invalidates_checkpoint(spark, corpus, tmp_path_factory):
+    turns, _ = corpus
+    wh = str(tmp_path_factory.mktemp("warehouse2"))
+    docs = reassemble(dedupe_turn_versions(turns)).select("conv_id", "doc_text")
+    run_documents(
+        spark, docs, "conv_id", "doc_text", DedupConfig(),
+        channels=("minhash_lsh",), warehouse=wh, run_id="runB",
+    )
+    r2 = run_documents(
+        spark, docs, "conv_id", "doc_text", DedupConfig(shingle_k=7),
+        channels=("minhash_lsh",), warehouse=wh, run_id="runB",
+    )
+    assert not r2.stats["skipped_stages"]

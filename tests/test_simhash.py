@@ -1,0 +1,77 @@
+"""G5/G6: SimHash golden + monotonicity, Hamming block probing."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hsip.config import DedupConfig
+from hsip.simhash import (
+    attach_simhash,
+    hamming_block_table,
+    simhash_candidates,
+    simhash_local,
+)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_identical_text_identical_simhash(spark):
+    cfg = DedupConfig()
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")],
+        "doc_id int, text string",
+    )
+    rows = attach_simhash(df, "doc_id", "text", cfg).collect()
+    assert rows[0].simhash == rows[1].simhash
+
+
+def test_hamming_monotone_in_overlap(spark):
+    """More token overlap -> smaller Hamming distance (statistical)."""
+    cfg = DedupConfig()
+    rng = np.random.default_rng(2)
+    vocab = [f"w{i}" for i in range(2000)]
+    base = [vocab[i] for i in rng.integers(0, 2000, size=300)]
+
+    def variant(frac):
+        out = list(base)
+        idx = rng.choice(300, size=int(300 * frac), replace=False)
+        for i in idx:
+            out[i] = vocab[int(rng.integers(0, 2000))]
+        return " ".join(out)
+
+    df = spark.createDataFrame(
+        [(0, " ".join(base)), (1, variant(0.05)), (2, variant(0.3)), (3, variant(0.9))],
+        "doc_id int, text string",
+    )
+    sh = {r.id: r.simhash for r in attach_simhash(df, "doc_id", "text", cfg).collect()}
+    d = [_hamming(sh["0"], sh[str(i)]) for i in (1, 2, 3)]
+    assert d[0] < d[1] < d[2]
+
+
+def test_block_table_shape(spark):
+    cfg = DedupConfig(hamming_blocks=4)
+    df = spark.createDataFrame([("a", 0x1234_5678_9ABC_DEF0)], "id string, simhash long")
+    rows = hamming_block_table(df, cfg).orderBy("block_id").collect()
+    assert [r.block_bits for r in rows] == [0xDEF0, 0x9ABC, 0x5678, 0x1234]
+
+
+def test_near_identical_found_by_blocks(spark):
+    cfg = DedupConfig()
+    text = " ".join(f"tok{i}" for i in range(200))
+    # flip a couple of tokens -> small Hamming distance
+    toks = text.split()
+    toks[5] = "xxx"
+    df = spark.createDataFrame(
+        [(1, text), (2, " ".join(toks))], "doc_id int, text string"
+    )
+    sims = attach_simhash(df, "doc_id", "text", cfg)
+    pairs, _ = simhash_candidates(sims, cfg)
+    assert {(r.a, r.b) for r in pairs.collect()} == {("1", "2")}
+
+
+def test_empty_text_zero(spark):
+    cfg = DedupConfig()
+    df = spark.createDataFrame([(1, ""), (2, None)], "doc_id int, text string")
+    rows = attach_simhash(df, "doc_id", "text", cfg).collect()
+    assert all(r.simhash == 0 for r in rows)

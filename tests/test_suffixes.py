@@ -1,0 +1,118 @@
+"""G7/V4: suffix array correctness, winnowing guarantee, channel vs
+suffix-array oracle (SURVEY.md §5.3, §7 hard-part 1)."""
+
+import numpy as np
+
+from hsip.config import DedupConfig
+from hsip.suffixes import (
+    _rolling_hashes,
+    _winnow,
+    duplicate_spans_local,
+    fingerprint_table,
+    substr_candidates,
+    suffix_array,
+    verify_substr,
+)
+
+
+def test_suffix_array_matches_sorted_suffixes():
+    rng = np.random.default_rng(1)
+    for _ in range(5):
+        data = rng.integers(97, 102, size=200).astype(np.uint8)
+        s = bytes(data)
+        want = sorted(range(len(s)), key=lambda i: s[i:])
+        got = suffix_array(data)
+        assert list(got) == want
+
+
+def test_rolling_hash_position_independent():
+    a = np.frombuffer(b"xxxhello worldyyy", dtype=np.uint8)
+    b = np.frombuffer(b"hello worldzzzzzz", dtype=np.uint8)
+    ha = _rolling_hashes(a, 5)
+    hb = _rolling_hashes(b, 5)
+    # window "hello" at pos 3 in a, pos 0 in b
+    assert ha[3] == hb[0]
+    assert ha[0] != hb[0]
+
+
+def test_winnow_guarantee():
+    """Any common substring of length >= k+w-1 shares a selected print."""
+    rng = np.random.default_rng(4)
+    k, w = 20, 10
+    base = bytes(rng.integers(97, 123, size=500).astype(np.uint8))
+    span = base[100 : 100 + k + w - 1]  # exactly threshold length
+    other = (
+        bytes(rng.integers(97, 123, size=300).astype(np.uint8))
+        + span
+        + bytes(rng.integers(97, 123, size=300).astype(np.uint8))
+    )
+    for text in (base, other):
+        pass
+    ha = _rolling_hashes(np.frombuffer(base, np.uint8), k)
+    hb = _rolling_hashes(np.frombuffer(other, np.uint8), k)
+    fa = set(ha[_winnow(ha, w)].tolist())
+    fb = set(hb[_winnow(hb, w)].tolist())
+    assert fa & fb
+
+
+def test_duplicate_spans_local_oracle():
+    texts = {
+        "a": "The quick brown fox jumps over the lazy dog repeatedly today",
+        "b": "Something else entirely; quick brown fox jumps over the lazy cat",
+        "c": "completely unrelated content here",
+    }
+    spans = duplicate_spans_local(texts, min_len=20)
+    assert [(a, b) for a, b, _ in spans] == [("a", "b")]
+    assert spans[0][2] >= 30  # " quick brown fox jumps over the lazy "
+
+
+def test_channel_end_to_end_matches_oracle(spark):
+    """Fingerprint channel finds exactly the pairs the suffix-array oracle
+    finds at threshold L (no false negatives by winnowing guarantee; no
+    false positives after exact verify)."""
+    cfg = DedupConfig(min_substr_len=60, winnow_window=20)
+    rng = np.random.default_rng(8)
+
+    def rand_text(n):
+        return " ".join(
+            "".join(chr(97 + c) for c in rng.integers(0, 26, size=5))
+            for _ in range(n)
+        )
+
+    base = rand_text(100)
+    span = base[200:290]  # 90 chars > L=60
+    docs = {
+        "d0": base,
+        "d1": rand_text(80)[:200] + " " + span + " " + rand_text(40),
+        "d2": rand_text(90),
+        "d3": base,  # full duplicate
+    }
+    oracle = {
+        (a, b) for a, b, l in duplicate_spans_local(docs, cfg.min_substr_len)
+    }
+    df = spark.createDataFrame(list(docs.items()), "id string, text string")
+    fps = fingerprint_table(df, "id", "text", cfg)
+    pairs, _ = substr_candidates(fps, cfg)
+    verified = verify_substr(pairs, df, "id", "text", cfg)
+    got = {(r.a, r.b) for r in verified.filter("verdict").collect()}
+    # The SA oracle reports *adjacent* cross-doc pairs only — with d3 == d0
+    # identical, (d0, d1) is shadowed by d3 in suffix order. The channel
+    # may legitimately find a superset; every found pair is exact-verified.
+    assert oracle <= got
+    assert ("d0", "d1") in got and ("d0", "d3") in got and ("d1", "d3") in got
+    assert not any("d2" in p for p in got)
+
+
+def test_hot_fingerprint_star_pairing(spark):
+    """Boilerplate shared by many docs: capped star pairing still verifies."""
+    cfg = DedupConfig(min_substr_len=40, winnow_window=10, substr_bucket_cap=3)
+    boiler = "exactly the same boilerplate text repeated in every document here"
+    docs = [(f"x{i}", boiler + f" unique tail {i}") for i in range(8)]
+    df = spark.createDataFrame(docs, "id string, text string")
+    fps = fingerprint_table(df, "id", "text", cfg)
+    pairs, hot = substr_candidates(fps, cfg)
+    assert hot.count() > 0
+    verified = verify_substr(pairs, df, "id", "text", cfg)
+    kept = verified.filter("verdict")
+    # star edges from x0 to everyone — one component despite the cap
+    assert kept.count() >= 7
