@@ -459,9 +459,63 @@ def embedding_label_stats(spark, sf_dir):
     )
 
 
+def token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting (text analysis)."""
+    from hsip.textstats import bpe_ish_token_count_col, token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count_col(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+def quality_signals(spark, sf_dir):
+    from hsip.textstats import attach_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = attach_quality(docs, "text")
+    return q.select(
+        "doc_id", "n_tokens", "punct_ratio", "digit_ratio", "diversity"
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only checks (hash-specific / iterative / sampling — no SQL oracle)
 # ---------------------------------------------------------------------------
+
+def lang_id_heuristic(spark, sf_dir):
+    from hsip.textstats import lang_id_stopwords
+
+    return lang_id_stopwords(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def ann_rhp_lsh_topk(spark, sf_dir):
+    """Approximate nearest neighbors: random-hyperplane LSH + re-rank."""
+    from hsip.similarity import rhp_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return rhp_lsh_topk(emb, k=3, dim=64, band_bits=4, seed=7)
+
+
+def image_feature_extraction(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> (dims, phash) via mapInPandas."""
+    from hsip.multimodal import extract_image_features, synthetic_media
+
+    return extract_image_features(synthetic_media(spark, n=128))
+
+
+def doc_minhash_signatures(spark, sf_dir):
+    from hsip.config import DedupConfig
+    from hsip.minhash import attach_minhash
+    from hsip.shingle import shingle_docs
+
+    cfg = DedupConfig()
+    docs = _t(spark, sf_dir, "documents")
+    sigs = attach_minhash(shingle_docs(docs, "doc_id", "text", cfg), cfg)
+    return sigs.select("id", F.size("sig").alias("sig_len"))
+
 
 def minhash_lsh_clusters(spark, sf_dir):
     from hsip.config import DedupConfig
@@ -564,7 +618,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings / similarity search
         "embedding_topk_neighbors": embedding_topk_neighbors,
         "embedding_label_stats": embedding_label_stats,
+        "token_counts": token_counts,
+        "quality_signals": quality_signals,
         # rows-only
+        "lang_id_heuristic": lang_id_heuristic,
+        "ann_rhp_lsh_topk": ann_rhp_lsh_topk,
+        "image_feature_extraction": image_feature_extraction,
+        "doc_minhash_signatures": doc_minhash_signatures,
         "minhash_lsh_clusters": minhash_lsh_clusters,
         "simhash_hamming_pairs": simhash_hamming_pairs,
         "substr_duplicate_spans": substr_duplicate_spans,
@@ -827,5 +887,32 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sqrt(list_dot_product(embedding, embedding))), 4)
                        AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(
+                       text, '[a-zA-Z0-9_]+|[^\sa-zA-Z0-9_]')) AS BIGINT)
+                       AS bpe_tokens
+            FROM documents
+        """,
+        "quality_signals": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS toks,
+                       length(text) AS nc
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round((nc - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                         / greatest(nc, 1), 6) AS punct_ratio,
+                   round((nc - length(regexp_replace(text, '[0-9]', '', 'g')))
+                         / greatest(nc, 1), 6) AS digit_ratio,
+                   round(len(list_distinct(toks)) / greatest(len(toks), 1), 6)
+                       AS diversity
+            FROM t
         """,
     }

@@ -21,6 +21,9 @@ class DedupConfig:
     # MinHash (G2) — num_perm = lsh_bands * lsh_rows
     num_perm: int = 128
     seed: int = 42
+    # "oph" = one-permutation hashing + rotation densification, O(S+P)
+    # (NIPS'12/ICML'14); "classic" = per-permutation affine MinHash, O(S*P)
+    minhash_variant: str = "oph"
     # LSH banding (G3/G4); threshold ~ (1/b)^(1/r) = (1/32)^(1/4) ~ 0.42
     lsh_bands: int = 32
     lsh_rows: int = 4
@@ -30,10 +33,12 @@ class DedupConfig:
     # SimHash (G5/G6)
     simhash_bits: int = 64
     hamming_d: int = 3              # candidates within Hamming distance d
-    hamming_blocks: int = 4         # pigeonhole blocks (d+1 <= blocks)
+    # B blocks -> C(B, B-d) probe tables with (B-d)*64/B-bit keys
+    # (generalized Manku'07; B=8, d=3 -> 56 tables, 40-bit keys)
+    hamming_blocks: int = 8
     # suffix/substring channel (G7/V4)
     min_substr_len: int = 200       # chars; duplicates = common substring >= L
-    winnow_window: int = 50         # winnowing window w; guarantee k_sa+w-1 <= L
+    winnow_window: int = 100        # winnowing window w; guarantee k_sa+w-1 <= L
     substr_bucket_cap: int = 64
     # normalization (R3)
     lowercase: bool = True

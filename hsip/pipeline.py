@@ -61,6 +61,13 @@ def _ephemeral(df: DataFrame, name: str = "?") -> DataFrame:
     return df
 
 
+def _reused(df: DataFrame, reuse: bool) -> DataFrame:
+    """Cache (lazily) only when the frame feeds >1 downstream consumer —
+    ephemeral-mode materialization actions are the dominant fixed cost at
+    small scale and add nothing at large scale."""
+    return df.cache() if reuse else df
+
+
 def run_documents(
     spark: SparkSession,
     docs: DataFrame,
@@ -85,24 +92,28 @@ def run_documents(
     ckpt = Checkpointer(catalog, run_id, fp, enabled=use_ckpt) if use_ckpt else None
     rec = Recorder(spark, catalog, run_id) if use_ckpt else None
 
-    def stage(name: str, build):
+    def stage(name: str, build, reuse: bool = True):
         if ckpt:
             with StageTimer(rec, name):
                 out = ckpt.materialize(name, build)
             rec.lineage(name, out, fp)
             return out
-        return _ephemeral(build(), name)
+        return _reused(build(), reuse)
 
-    base = docs.select(
-        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+    base = _reused(
+        docs.select(
+            F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+        ),
+        reuse=len(channels) > 1 or not use_ckpt,
     )
 
     stats: dict = {}
     verified_parts: list[DataFrame] = []
 
     if "minhash_lsh" in channels:
+        # shingles feed both the LSH bands and the Jaccard verify join
         shingles = stage("shingles", lambda: shingle_docs(base, "id", "text", cfg))
-        sigs = stage("minhash", lambda: attach_minhash(shingles, cfg))
+        sigs = stage("minhash", lambda: attach_minhash(shingles, cfg), reuse=False)
 
         def build_lsh():
             pairs, hot = lsh_candidates(sigs, cfg)
@@ -111,14 +122,16 @@ def run_documents(
                 rec.metric("lsh_candidates", "hot_buckets_star_paired", n_hot)
             return pairs
 
-        lsh_pairs = stage("lsh_candidates", build_lsh)
+        lsh_pairs = stage("lsh_candidates", build_lsh, reuse=False)
         vj = stage(
-            "verify_jaccard", lambda: V.verify_jaccard(lsh_pairs, shingles, cfg)
+            "verify_jaccard",
+            lambda: V.verify_jaccard(lsh_pairs, shingles, cfg),
+            reuse=False,
         )
         verified_parts.append(vj)
-        stats["lsh_pairs"] = lsh_pairs.count()
 
     if "simhash" in channels:
+        # simhashes feed both block probing and the Hamming verify join
         simhashes = stage("simhash", lambda: attach_simhash(base, "id", "text", cfg))
 
         def build_sim():
@@ -127,15 +140,20 @@ def run_documents(
                 rec.metric("simhash_candidates", "hot_buckets_star_paired", hot.count())
             return pairs
 
-        sim_pairs = stage("simhash_candidates", build_sim)
+        sim_pairs = stage("simhash_candidates", build_sim, reuse=False)
         vh = stage(
-            "verify_hamming", lambda: V.verify_hamming(sim_pairs, simhashes, cfg)
+            "verify_hamming",
+            lambda: V.verify_hamming(sim_pairs, simhashes, cfg),
+            reuse=False,
         )
         verified_parts.append(vh)
-        stats["simhash_pairs"] = sim_pairs.count()
 
     if "substr" in channels:
-        fps = stage("substr_fps", lambda: fingerprint_table(base, "id", "text", cfg))
+        fps = stage(
+            "substr_fps",
+            lambda: fingerprint_table(base, "id", "text", cfg),
+            reuse=False,
+        )
 
         def build_substr():
             pairs, hot = substr_candidates(fps, cfg)
@@ -143,13 +161,13 @@ def run_documents(
                 rec.metric("substr_candidates", "hot_fingerprints_star_paired", hot.count())
             return pairs
 
-        sub_pairs = stage("substr_candidates", build_substr)
+        sub_pairs = stage("substr_candidates", build_substr, reuse=False)
         vs = stage(
             "verify_substr",
             lambda: verify_substr(sub_pairs, base, "id", "text", cfg),
+            reuse=False,
         )
         verified_parts.append(vs)
-        stats["substr_pairs"] = sub_pairs.count()
 
     verified = stage("verified", lambda: V.combine_verified(*verified_parts))
     clusters = stage(

@@ -107,8 +107,12 @@ def fingerprint_table(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfi
                 data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
                 h = _rolling_hashes(data, k)
                 sel = _winnow(h, w)
+                # same content repeated within one doc selects the same
+                # hash many times — keep one anchor per distinct hash
+                hv = h[sel].view(np.int64)
+                _, first = np.unique(hv, return_index=True)
                 out.append(
-                    [(int(np.int64(h[i])), int(i)) for i in sel]
+                    [(int(hv[i]), int(sel[i])) for i in np.sort(first)]
                 )
             yield pd.Series(out)
 

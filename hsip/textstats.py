@@ -1,0 +1,136 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure-SQL (JVM, whole-stage codegen) except language ID's character
+n-gram profile, which is a numpy pandas UDF. These run over the
+``documents`` fixture and over reassembled conversations.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# tiny built-in stopword profiles: the highest-frequency function words per
+# language (public knowledge; enough for a coarse heuristic router)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+    "fr": {"le", "la", "les", "de", "des", "et", "en", "un", "une", "que"},
+    "es": {"el", "la", "los", "de", "que", "y", "en", "un", "una", "es"},
+    "de": {"der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"},
+}
+
+# BPE-ish token pattern: word pieces OR single non-space punctuation
+TOKEN_PATTERN = r"[a-zA-Z0-9_]+|[^\sa-zA-Z0-9_]"
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace-split token count (fast path)."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != F.lit("")))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """Regex token count approximating a BPE pre-tokenizer's piece count."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Cheap quality signals: length, punctuation/digit/whitespace ratios,
+    lexical diversity — the standard web-corpus filters."""
+    n_chars = F.length(text)
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    n_tokens = F.size(toks)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": F.round(
+            (n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))) /
+            F.greatest(n_chars, F.lit(1)),
+            6,
+        ),
+        "digit_ratio": F.round(
+            (n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))) /
+            F.greatest(n_chars, F.lit(1)),
+            6,
+        ),
+        "diversity": F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)), 6
+        ),
+        "mean_token_len": F.round(
+            (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)), 6
+        ),
+    }
+
+
+def attach_quality(df: DataFrame, text_col: str) -> DataFrame:
+    cols = quality_columns(F.col(text_col))
+    return df.select("*", *[c.alias(k) for k, c in cols.items()])
+
+
+def lang_id_stopwords(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language ID (pure SQL): argmax over per-language
+    stopword hit counts; 'und' (undetermined) when nothing matches."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+    scores = [
+        F.size(F.array_intersect(F.array_distinct(toks),
+                                 F.array(*[F.lit(w) for w in sorted(ws)]))).alias(lang)
+        for lang, ws in _STOPWORDS.items()
+    ]
+    scored = df.select(F.col(id_col).cast("string").alias("id"), *scores)
+    langs = list(_STOPWORDS)
+    best = F.greatest(*[F.col(lang) for lang in langs])
+    pick = F.coalesce(
+        *[F.when((F.col(lang) == best) & (best > 0), F.lit(lang)) for lang in langs],
+        F.lit("und"),
+    )
+    return scored.select("id", pick.alias("lang_pred"), best.alias("lang_score"))
+
+
+def char_ngram_profile(df: DataFrame, id_col: str, text_col: str, n: int = 3,
+                       num_buckets: int = 64) -> DataFrame:
+    """Hashed character-n-gram frequency profile (numpy pandas UDF) — the
+    feature vector a real langid/quality classifier consumes downstream."""
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def profile(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = []
+            for s in texts:
+                if not s or len(s) < n:
+                    out.append([0.0] * num_buckets)
+                    continue
+                data = np.frombuffer(s.lower().encode("utf-8"), dtype=np.uint8)
+                m = len(data) - n + 1
+                # vectorized n-gram hashing: polynomial over byte windows
+                h = np.zeros(m, dtype=np.uint64)
+                for j in range(n):
+                    h = h * np.uint64(1000003) + data[j : j + m]
+                counts = np.bincount(
+                    (h % np.uint64(num_buckets)).astype(np.int64),
+                    minlength=num_buckets,
+                ).astype(np.float64)
+                out.append(list(counts / counts.sum()))
+            yield pd.Series(out)
+
+    return df.select(
+        F.col(id_col).cast("string").alias("id"),
+        profile(F.col(text_col)).alias("ngram_profile"),
+    )
+
+
+def doc_rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
+                            seed: int = 42) -> DataFrame:
+    """64-bit whole-document fingerprint (xxhash64 of normalized text) plus
+    a first-256-char prefix hash — cheap exact-dup and near-head keys."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.xxhash64(norm, F.lit(seed)).alias("fp64"),
+        F.xxhash64(F.substring(norm, 1, 256), F.lit(seed)).alias("fp_prefix256"),
+    )

@@ -19,9 +19,11 @@ def _sets_with_jaccard(rng, jaccard, size=400):
 
 
 @pytest.mark.parametrize("jacc", [0.3, 0.6, 0.9])
-def test_unbiasedness(jacc):
-    """Mean signature agreement ~= Jaccard (Broder'97), CLT tolerance."""
-    cfg = DedupConfig(num_perm=256)
+@pytest.mark.parametrize("variant", ["classic", "oph"])
+def test_unbiasedness(jacc, variant):
+    """Mean signature agreement ~= Jaccard (Broder'97 for classic;
+    Li'12/Shrivastava'14 for OPH+densification), CLT tolerance."""
+    cfg = DedupConfig(num_perm=256, minhash_variant=variant)
     rng = np.random.default_rng(7)
     agreements = []
     for _ in range(8):

@@ -50,10 +50,34 @@ def test_hamming_monotone_in_overlap(spark):
 
 
 def test_block_table_shape(spark):
-    cfg = DedupConfig(hamming_blocks=4)
+    """B=8, d=3 -> C(8,5) = 56 probe tables per fingerprint."""
+    cfg = DedupConfig(hamming_blocks=8, hamming_d=3)
     df = spark.createDataFrame([("a", 0x1234_5678_9ABC_DEF0)], "id string, simhash long")
-    rows = hamming_block_table(df, cfg).orderBy("block_id").collect()
-    assert [r.block_bits for r in rows] == [0xDEF0, 0x9ABC, 0x5678, 0x1234]
+    rows = hamming_block_table(df, cfg).collect()
+    assert len(rows) == 56
+    assert len({r.table_id for r in rows}) == 56
+
+
+def test_probing_guarantee_within_d(spark):
+    """Pigeonhole: any pair within Hamming distance d shares a table key."""
+    rng = np.random.default_rng(17)
+    cfg = DedupConfig(hamming_blocks=8, hamming_d=3)
+    rows = []
+    for i in range(30):
+        base = int(rng.integers(-(2**63), 2**63 - 1))
+        flipped = base
+        for bit in rng.choice(64, size=int(rng.integers(1, 4)), replace=False):
+            flipped ^= 1 << int(bit)
+        if flipped >= 2**63:
+            flipped -= 2**64
+        rows += [(f"p{i:02d}_a", base), (f"p{i:02d}_b", flipped)]
+    df = spark.createDataFrame(rows, "id string, simhash long")
+    from hsip.simhash import simhash_candidates
+
+    pairs, _ = simhash_candidates(df, cfg)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    for i in range(30):
+        assert (f"p{i:02d}_a", f"p{i:02d}_b") in got, f"pair {i} missed"
 
 
 def test_near_identical_found_by_blocks(spark):

@@ -1,0 +1,63 @@
+"""Similarity search: brute-force exactness + RHP-LSH recall vs it."""
+
+import numpy as np
+import pytest
+
+from hsip.similarity import brute_force_topk, rhp_lsh_topk, rhp_signatures
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(21)
+    # clustered vectors so top-k is meaningful
+    centers = rng.standard_normal((10, 32))
+    rows = []
+    for i in range(300):
+        c = centers[i % 10]
+        v = c + 0.15 * rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    rows = emb.collect()
+    m = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -2)
+    got = brute_force_topk(emb, emb.filter("vec_id < 5"), k=3).collect()
+    for r in got:
+        qi = int(np.nonzero(ids == int(r.q_id))[0][0])
+        order = np.argsort(-sims[qi])
+        top3 = {int(ids[j]) for j in order[:3]}
+        assert int(r.neighbor_id) in top3
+
+
+def test_rhp_signature_hamming_tracks_cosine(spark, emb):
+    sigs = {r.id: r.sig for r in rhp_signatures(emb, dim=32, seed=7, n_bits=64).collect()}
+    rows = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    same = ham(sigs[0], sigs[10])     # same cluster (0 % 10 == 10 % 10)
+    diff = ham(sigs[0], sigs[1])      # different clusters
+    assert cos(rows[0], rows[10]) > cos(rows[0], rows[1])
+    assert same < diff
+
+
+def test_rhp_lsh_recall_vs_brute_force(spark, emb):
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in brute_force_topk(emb, emb, k=3).collect()
+    }
+    approx = {
+        (r.q_id, r.neighbor_id)
+        for r in rhp_lsh_topk(emb, k=3, dim=32, band_bits=4, seed=7).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"RHP-LSH recall {recall}"
