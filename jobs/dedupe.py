@@ -1,0 +1,84 @@
+"""spark-submit entry point (BASELINE.json:6: "runs via spark-submit
+--py-files on multi-executor clusters").
+
+Usage:
+  spark-submit --py-files hsip.zip jobs/dedupe.py \
+      --input <path-or-iceberg-ident> --warehouse <dir-or-catalog> \
+      [--run-id RUN] [--resume] [--channels minhash_lsh,simhash,substr] \
+      [--iceberg-catalog CAT] [--shingle-k 5] [--jaccard 0.7] ...
+
+Input is the authoritative transcript shape (conv_id, turn_idx, role,
+text, tool, ts). Output tables land in the warehouse under
+out.<run_id>.{clusters,verified,representatives}; per-stage checkpoints
+under ckpt.<run_id>.*; lineage + metrics appended.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="parquet path or Iceberg table ident")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="reuse completed stage checkpoints for run-id")
+    p.add_argument("--channels", default="minhash_lsh,simhash,substr")
+    p.add_argument("--iceberg-catalog", default=None)
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--num-perm", type=int, default=128)
+    p.add_argument("--lsh-bands", type=int, default=32)
+    p.add_argument("--lsh-rows", type=int, default=4)
+    p.add_argument("--jaccard", type=float, default=0.7)
+    p.add_argument("--min-substr-len", type=int, default=200)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv or sys.argv[1:])
+
+    from hsip.catalog import Catalog
+    from hsip.config import DedupConfig
+    from hsip.pipeline import run_transcripts
+    from hsip.session import get_spark
+
+    spark = get_spark(app_name=f"hsip-dedupe-{args.run_id or 'new'}", master=args.master)
+    cfg = DedupConfig(
+        shingle_k=args.shingle_k,
+        num_perm=args.num_perm,
+        lsh_bands=args.lsh_bands,
+        lsh_rows=args.lsh_rows,
+        jaccard_threshold=args.jaccard,
+        min_substr_len=args.min_substr_len,
+        seed=args.seed,
+    )
+
+    if args.iceberg_catalog:
+        turns = spark.read.table(f"{args.iceberg_catalog}.{args.input}")
+    else:
+        turns = spark.read.parquet(args.input)
+
+    res = run_transcripts(
+        spark, turns, cfg,
+        channels=tuple(args.channels.split(",")),
+        warehouse=args.warehouse,
+        run_id=args.run_id,
+    )
+
+    cat = Catalog(spark, args.warehouse, args.iceberg_catalog)
+    cat.write(res.clusters, f"out.{res.run_id}.clusters")
+    cat.write(res.verified, f"out.{res.run_id}.verified")
+    cat.write(res.representatives, f"out.{res.run_id}.representatives")
+    n = res.clusters.count()
+    n_cl = res.representatives.count()
+    print(f"run_id={res.run_id} rows={n} clusters={n_cl} stats={res.stats}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
