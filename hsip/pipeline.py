@@ -35,6 +35,7 @@ from .reassemble import dedupe_turn_versions, reassemble
 from .shingle import shingle_docs
 from .simhash import attach_simhash, simhash_candidates
 from .suffixes import fingerprint_table, substr_candidates, verify_substr
+from .textkernel import featurize
 
 
 @dataclass
@@ -62,10 +63,19 @@ def _ephemeral(df: DataFrame, name: str = "?") -> DataFrame:
 
 
 def _reused(df: DataFrame, reuse: bool) -> DataFrame:
-    """Cache (lazily) only when the frame feeds >1 downstream consumer —
-    ephemeral-mode materialization actions are the dominant fixed cost at
-    small scale and add nothing at large scale."""
-    return df.cache() if reuse else df
+    """Cache + EAGERLY materialize frames that feed >1 downstream consumer.
+
+    Eager matters: AQE materializes independent query-stage futures
+    concurrently, so a lazily-cached subtree gets recomputed by every
+    concurrent consumer before the cache populates — measured 9,546
+    CPU-s of task time vs ~300 intrinsic on the 554k-turn corpus (each
+    channel re-running reassembly+normalization). One count() per reused
+    frame serializes the dependency order and caps total work.
+    """
+    if reuse:
+        df = df.cache()
+        df.count()
+    return df
 
 
 def run_documents(
@@ -109,12 +119,26 @@ def run_documents(
 
     stats: dict = {}
     verified_parts: list[DataFrame] = []
+    need_mh = "minhash_lsh" in channels
+    need_sh = "simhash" in channels
 
-    if "minhash_lsh" in channels:
-        # shingles feed both the LSH bands and the Jaccard verify join
-        shingles = stage("shingles", lambda: shingle_docs(base, "id", "text", cfg))
-        sigs = stage("minhash", lambda: attach_minhash(shingles, cfg), reuse=False)
+    shingles = sigs = simhashes = None
+    if cfg.fused_kernel and (need_mh or need_sh):
+        # one Arrow pass computes shingles+sig+simhash (textkernel.py)
+        feats = stage("features", lambda: featurize(base, "id", "text", cfg))
+        shingles = feats.select("id", "shingles")
+        sigs = feats.select("id", "sig")
+        simhashes = feats.select("id", "simhash")
+    else:
+        if need_mh:
+            shingles = stage("shingles", lambda: shingle_docs(base, "id", "text", cfg))
+            sigs = stage("minhash", lambda: attach_minhash(shingles, cfg), reuse=False)
+        if need_sh:
+            simhashes = stage(
+                "simhash", lambda: attach_simhash(base, "id", "text", cfg)
+            )
 
+    if need_mh:
         def build_lsh():
             pairs, hot = lsh_candidates(sigs, cfg)
             if rec:
@@ -130,10 +154,7 @@ def run_documents(
         )
         verified_parts.append(vj)
 
-    if "simhash" in channels:
-        # simhashes feed both block probing and the Hamming verify join
-        simhashes = stage("simhash", lambda: attach_simhash(base, "id", "text", cfg))
-
+    if need_sh:
         def build_sim():
             pairs, hot = simhash_candidates(simhashes, cfg)
             if rec:

@@ -32,6 +32,15 @@ _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 
 
 def _simhash_batch(arrs: pd.Series) -> pd.Series:
+    """Segmented bit-vote, one 1-D add.reduceat per bit column.
+
+    The obvious vectorization — materialize a (tokens, 64) vote matrix —
+    costs 16 GB and ~560 s for a 64M-token batch; 64 passes of
+    ((flat >> j) & 1 -> 1-D reduceat) touch the same data column-wise at
+    ~5 s per 10M tokens and O(tokens) memory. Empty rows are excluded
+    from the reduceat index list entirely (clamping them corrupts the
+    preceding row's segment) and emit simhash 0.
+    """
     n = len(arrs)
     if n == 0:
         return pd.Series([], dtype=np.int64)
@@ -39,26 +48,37 @@ def _simhash_batch(arrs: pd.Series) -> pd.Series:
         (0 if x is None else len(x) for x in arrs), dtype=np.int64, count=n
     )
     total = int(lens.sum())
+    out = np.zeros(n, dtype=np.uint64)
     if total == 0:
-        return pd.Series(np.zeros(n, dtype=np.int64))
+        return pd.Series(out.view(np.int64))
     flat = np.concatenate(
         [np.asarray(x, dtype=np.int64) for x in arrs if x is not None and len(x)]
     ).view(np.uint64)
-    bits = ((flat[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
-    votes = bits * 2 - 1  # (tokens, 64) in {-1, +1}
-    starts = np.zeros(n, dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    # reduceat needs non-empty segments: clamp empty-row starts, zero after
-    seg_starts = np.minimum(starts, total - 1)
-    sums = np.add.reduceat(votes, seg_starts, axis=0)  # (n, 64)
-    sums[lens == 0] = 0
-    # rows whose (clamped) segment is empty because the row had 0 tokens
-    # already zeroed; rows after an empty row are still correct because
-    # reduceat segments are [starts[i], starts[i+1]) over the clamped array.
-    packed = ((sums > 0).astype(np.uint64) << _BIT_SHIFTS[None, :]).sum(
+    nz = lens > 0
+    starts_all = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts_all[1:])
+    nz_starts = starts_all[nz]
+    nz_lens = lens[nz]
+    nz_ends = nz_starts + nz_lens
+    m = len(nz_starts)
+    ones = np.empty((m, 64), dtype=np.int64)
+    # chunk segments so the 64 column passes stay cache-resident —
+    # whole-array passes are memory-bandwidth-bound at ~5x the cost
+    seg_chunk = max(1, 8_000_000 // max(1, int(nz_lens.mean())))
+    for s0 in range(0, m, seg_chunk):
+        s1 = min(m, s0 + seg_chunk)
+        lo, hi = nz_starts[s0], nz_ends[s1 - 1]
+        sub = flat[lo:hi]
+        local = (nz_starts[s0:s1] - lo).astype(np.int64)
+        for j in range(64):
+            col = ((sub >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+            ones[s0:s1, j] = np.add.reduceat(col, local)
+    votes_pos = 2 * ones > nz_lens[:, None]  # majority of 1-bits per position
+    packed = (votes_pos.astype(np.uint64) << _BIT_SHIFTS[None, :]).sum(
         axis=1, dtype=np.uint64
     )
-    return pd.Series(packed.view(np.int64))
+    out[nz] = packed
+    return pd.Series(out.view(np.int64))
 
 
 def attach_simhash(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
