@@ -153,6 +153,38 @@ def rollup_order_counts(spark, sf_dir):
     )
 
 
+def cube_order_stats(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+def explode_token_frequencies(spark, sf_dir):
+    """Q17 explode/lateral: top-20 tokens across documents by frequency."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("token")
+    )
+    agg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = W.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("token", "freq", "rk")
+    )
+
+
 def pivot_returnflag_linestatus(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -593,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers_without_orders": anti_join_customers_without_orders,
         "semi_join_parts_ordered": semi_join_parts_ordered,
         "rollup_order_counts": rollup_order_counts,
+        "cube_order_stats": cube_order_stats,
+        "explode_token_frequencies": explode_token_frequencies,
         "pivot_returnflag_linestatus": pivot_returnflag_linestatus,
         "window_top2_per_order": window_top2_per_order,
         "window_running_quantity": window_running_quantity,
@@ -696,6 +730,26 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(o_orderpriority, 'ALL') AS priority,
                    count(*) AS n
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_order_stats": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "explode_token_frequencies": f"""
+            WITH toks AS (
+                SELECT unnest(string_split({_NORM_SQL.format(c='text')}, ' '))
+                       AS token
+                FROM documents
+            ),
+            agg AS (SELECT token, count(*) AS freq FROM toks GROUP BY token)
+            SELECT token, freq, rk FROM (
+                SELECT token, freq,
+                       row_number() OVER (ORDER BY freq DESC, token) AS rk
+                FROM agg
+            ) WHERE rk <= 20
         """,
         "pivot_returnflag_linestatus": """
             SELECT l_returnflag,

@@ -63,18 +63,24 @@ def main():
 
     path = bench._transcripts_path()
 
+    # alternate levels and keep the BEST wall per level: the sandbox host
+    # is shared (load avg 6-10 from other tenants with zero processes of
+    # ours running), so min-of-N is the least-interfered measurement
     results = {}
-    for master in ("local[8]", "local[32]"):
-        walls = []
-        turns = 0
-        for _ in range(args.runs):
+    walls: dict[str, list] = {"local[8]": [], "local[32]": []}
+    turns = 0
+    for _ in range(args.runs):
+        for master in ("local[8]", "local[32]"):
             r = run_once(master, path)
-            walls.append(r["wall_sec"])
+            walls[master].append(r["wall_sec"])
             turns = r["turns"]
+    for master, ws in walls.items():
+        best = min(ws)
         results[master] = {
             "turns": turns,
-            "wall_sec": round(statistics.median(walls), 1),
-            "turns_per_sec": round(turns / statistics.median(walls), 1),
+            "wall_sec": round(best, 1),
+            "turns_per_sec": round(turns / best, 1),
+            "all_walls": [round(w, 1) for w in ws],
         }
 
     t8 = results["local[8]"]["turns_per_sec"]

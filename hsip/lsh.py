@@ -46,9 +46,15 @@ def pairs_from_buckets(
     Reused by every candidate channel (LSH bands, Hamming blocks,
     substring fingerprints): they all reduce to "same bucket key => pair".
     """
+    from pyspark.sql import Window
+
     cols = list(bucket_cols)
-    sizes = bucketed.groupBy(*cols).agg(F.count(F.lit(1)).alias("bsz"))
-    tagged = bucketed.join(sizes, cols)
+    # window count instead of groupBy+join-back: one scan of the bucket
+    # table instead of three (the join-back recomputes the upstream plan
+    # per consumer unless it happens to hit a ReusedExchange)
+    tagged = bucketed.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy(*cols))
+    )
 
     small = tagged.filter(F.col("bsz") <= cap).drop("bsz")
     x = small.alias("x")

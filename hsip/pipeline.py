@@ -170,11 +170,8 @@ def run_documents(
         verified_parts.append(vh)
 
     if "substr" in channels:
-        fps = stage(
-            "substr_fps",
-            lambda: fingerprint_table(base, "id", "text", cfg),
-            reuse=False,
-        )
+        # cache: the bucket expansion filters this table along two branches
+        fps = stage("substr_fps", lambda: fingerprint_table(base, "id", "text", cfg))
 
         def build_substr():
             pairs, hot = substr_candidates(fps, cfg)

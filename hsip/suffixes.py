@@ -73,16 +73,38 @@ def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
     return w
 
 
+def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+    """O(n) sliding-window minimum (van Herk / Gil-Werman): block prefix
+    and suffix minima combine into any window min — independent of w.
+    (sliding_window_view(...).min() is O(n*w): ~3,000 CPU-s at w=100 on
+    a 427MB corpus; this is ~3 passes over the data.)"""
+    n = len(h)
+    nb = -(-n // w)
+    pad = nb * w - n
+    hp = np.concatenate([h, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))]) if pad else h
+    blocks = hp.reshape(nb, w)
+    fwd = np.minimum.accumulate(blocks, axis=1).ravel()
+    bwd = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.minimum(bwd[: n - w + 1], fwd[w - 1 : n])
+
+
 def _winnow(hashes: np.ndarray, w: int) -> np.ndarray:
-    """Indices of winnowing-selected fingerprints (min per window of w)."""
+    """Positions of winnowing-selected fingerprints.
+
+    Selected VALUE set = set of all w-window minima (the winnowing
+    guarantee is value-based); each value is anchored at its first
+    occurrence, which is a genuine match position because equal 64-bit
+    hashes imply equal window content (collision odds negligible)."""
     n = len(hashes)
     if n == 0:
         return np.empty(0, dtype=np.int64)
     if n <= w:
         return np.array([int(np.argmin(hashes))], dtype=np.int64)
-    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
-    sel = win.argmin(axis=1) + np.arange(n - w + 1)
-    return np.unique(sel)
+    vals = np.unique(_sliding_min(hashes, w))
+    order = np.argsort(hashes, kind="stable")
+    sorted_h = hashes[order]
+    pos = order[np.searchsorted(sorted_h, vals)]
+    return np.sort(pos)
 
 
 def fingerprint_table(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
@@ -134,10 +156,15 @@ def substr_candidates(
     fingerprints (> substr_bucket_cap docs — boilerplate) switch to star
     pairing against the min doc, logged to metrics.
     """
+    from pyspark.sql import Window
+
     cap = cfg.substr_bucket_cap
     fp = fp_df.repartition("fp_hash")
-    sizes = fp.groupBy("fp_hash").agg(F.countDistinct("id").alias("bsz"))
-    tagged = fp.join(sizes, "fp_hash")
+    # (id, fp_hash) is unique (per-doc hash dedupe in fingerprint_table),
+    # so a window row-count equals the distinct-doc bucket size — one scan
+    tagged = fp.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
+    )
 
     small = tagged.filter(F.col("bsz") <= cap).drop("bsz")
     x, y = small.alias("x"), small.alias("y")
