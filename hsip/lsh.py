@@ -46,15 +46,15 @@ def pairs_from_buckets(
     Reused by every candidate channel (LSH bands, Hamming blocks,
     substring fingerprints): they all reduce to "same bucket key => pair".
     """
-    from pyspark.sql import Window
-
     cols = list(bucket_cols)
-    # window count instead of groupBy+join-back: one scan of the bucket
-    # table instead of three (the join-back recomputes the upstream plan
-    # per consumer unless it happens to hit a ReusedExchange)
-    tagged = bucketed.withColumn(
-        "bsz", F.count(F.lit(1)).over(Window.partitionBy(*cols))
-    )
+    # Bucket sizes via groupBy + join-back, NOT a window count: groupBy
+    # pre-aggregates map-side so a 10^7-row boilerplate bucket never lands
+    # in one task, while partitionBy windows sort the whole bucket in a
+    # single task (the skew the cap exists to prevent). The join-back is
+    # skew-safe too (AQE skew-join splits it). Callers must pass a
+    # CACHED/materialized `bucketed` — both branches scan it.
+    sizes = bucketed.groupBy(*cols).agg(F.count(F.lit(1)).alias("bsz"))
+    tagged = bucketed.join(sizes, cols)
 
     small = tagged.filter(F.col("bsz") <= cap).drop("bsz")
     x = small.alias("x")

@@ -156,15 +156,14 @@ def substr_candidates(
     fingerprints (> substr_bucket_cap docs — boilerplate) switch to star
     pairing against the min doc, logged to metrics.
     """
-    from pyspark.sql import Window
-
     cap = cfg.substr_bucket_cap
     fp = fp_df.repartition("fp_hash")
     # (id, fp_hash) is unique (per-doc hash dedupe in fingerprint_table),
-    # so a window row-count equals the distinct-doc bucket size — one scan
-    tagged = fp.withColumn(
-        "bsz", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
-    )
+    # so the row count per fp_hash equals the distinct-doc bucket size.
+    # groupBy (map-side combine) + join-back, not a window — see lsh.py;
+    # fp_df is cached by the pipeline so the double scan is cache-served.
+    sizes = fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("bsz"))
+    tagged = fp.join(sizes, "fp_hash")
 
     small = tagged.filter(F.col("bsz") <= cap).drop("bsz")
     x, y = small.alias("x"), small.alias("y")
@@ -251,6 +250,38 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
         .drop("t_a", "t_b", "pos_as", "pos_bs")
         .withColumn("verdict", F.col("substr_len") >= min_len)
     )
+
+
+def exact_substr_within_groups(
+    docs: DataFrame, id_col: str, text_col: str, group_col: str, cfg: DedupConfig
+) -> DataFrame:
+    """Corpus-level duplicate-span EXTRACTION per group (Lee et al. ACL'22
+    use-case) via a grouped-map suffix array: applyInPandas builds a
+    concatenated suffix array per group and emits every cross-document
+    span >= L. Candidate *generation* across groups still comes from the
+    winnowed fingerprint channel, so this is an exact per-group extractor
+    (group by e.g. lang/source/bucketed prefix), not the recall path.
+    """
+    min_len = cfg.min_substr_len
+    out_schema = T.StructType(
+        [
+            T.StructField("a", T.StringType(), False),
+            T.StructField("b", T.StringType(), False),
+            T.StructField("substr_len", T.IntegerType(), False),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = dict(zip(pdf["_id"].astype(str), pdf["_norm"].fillna("")))
+        spans = duplicate_spans_local(texts, min_len)
+        return pd.DataFrame(spans, columns=["a", "b", "substr_len"])
+
+    normed = docs.select(
+        F.col(group_col).alias("_grp"),
+        F.col(id_col).cast("string").alias("_id"),
+        norm_text_col(text_col, cfg).alias("_norm"),
+    )
+    return normed.groupBy("_grp").applyInPandas(run, schema=out_schema)
 
 
 # ----------------------------------------------------------------------

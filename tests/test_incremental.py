@@ -1,0 +1,59 @@
+"""Incremental dedup: delta-vs-index candidates without corpus recompute."""
+
+import numpy as np
+import pytest
+
+from hsip.config import DedupConfig
+from hsip.incremental import (
+    build_index,
+    incremental_verified_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(800)]
+
+    def doc():
+        return " ".join(vocab[i] for i in rng.integers(0, 800, size=120))
+
+    old = [(f"old{i:03d}", doc()) for i in range(50)]
+    texts = dict(old)
+    # delta: one exact dup of an old doc, one near dup, two fresh docs,
+    # and two new docs that duplicate each other
+    near = texts["old007"].split()
+    for j in rng.choice(120, size=6, replace=False):
+        near[j] = vocab[int(rng.integers(0, 800))]
+    fresh = doc()
+    new = [
+        ("new001", texts["old003"]),          # exact vs index
+        ("new002", " ".join(near)),           # near vs index
+        ("new003", doc()),
+        ("new004", fresh),                    # new x new pair
+        ("new005", fresh),
+    ]
+    return old, new
+
+
+def test_incremental_matches(spark, corpus):
+    old, new = corpus
+    # 6/120 token edits -> 5-gram shingle Jaccard ~0.61 (each edit kills
+    # up to k=5 grams); threshold below that so the near pair verifies
+    cfg = DedupConfig(jaccard_threshold=0.55)
+    old_df = spark.createDataFrame(old, "doc_id string, text string")
+    new_df = spark.createDataFrame(new, "doc_id string, text string")
+    idx = build_index(old_df, "doc_id", "text", cfg)
+    feats = idx["features"].cache()
+    bands = idx["bands"].cache()
+    feats.count(), bands.count()
+
+    verified = incremental_verified_pairs(
+        new_df, "doc_id", "text", feats, bands, cfg
+    )
+    kept = {(r.a, r.b) for r in verified.filter("verdict").collect()}
+    assert ("new001", "old003") in kept       # exact vs index
+    assert ("new002", "old007") in kept       # near vs index
+    assert ("new004", "new005") in kept       # within-delta pair
+    # no old-x-old pairs ever emitted
+    assert not any(a.startswith("old") and b.startswith("old") for a, b in kept)

@@ -103,6 +103,25 @@ def test_channel_end_to_end_matches_oracle(spark):
     assert not any("d2" in p for p in got)
 
 
+def test_exact_substr_within_groups(spark):
+    """Grouped-map suffix-array extractor finds cross-doc spans per group."""
+    from hsip.suffixes import exact_substr_within_groups
+
+    cfg = DedupConfig(min_substr_len=30)
+    span = "this exact span is repeated across two documents verbatim"
+    rows = [
+        ("a1", "g1", "prefix one " + span + " suffix one"),
+        ("a2", "g1", "other start " + span + " other end"),
+        ("a3", "g1", "completely unrelated text with nothing shared at all"),
+        ("b1", "g2", "group two " + span + " text"),  # different group: not paired with g1
+    ]
+    df = spark.createDataFrame(rows, "id string, grp string, text string")
+    got = {(r.a, r.b): r.substr_len for r in
+           exact_substr_within_groups(df, "id", "text", "grp", cfg).collect()}
+    assert ("a1", "a2") in got and got[("a1", "a2")] >= len(span)
+    assert all("a3" not in p and "b1" not in p for p in got)
+
+
 def test_hot_fingerprint_star_pairing(spark):
     """Boilerplate shared by many docs: capped star pairing still verifies."""
     cfg = DedupConfig(min_substr_len=40, winnow_window=10, substr_bucket_cap=3)
