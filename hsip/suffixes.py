@@ -352,8 +352,10 @@ def duplicate_spans_local(texts: dict[str, str], min_len: int) -> list[tuple[str
         if oi == oj:
             continue
         l = _lcp_len(data, i, j)
-        # clip at the document boundary (separator \x00 stops compares
-        # naturally since \x00 never appears inside utf-8 text)
+        # cap at each suffix's own document end: the \x00 separators all
+        # equal each other, so an uncapped LCP chains matches across
+        # document boundaries and fabricates impossible spans
+        l = min(l, int(bounds[oi + 1]) - 1 - i, int(bounds[oj + 1]) - 1 - j)
         if l >= min_len:
             key = (ids[min(oi, oj)], ids[max(oi, oj)])
             if best.get(key, 0) < l:
