@@ -16,7 +16,12 @@ under ckpt.<run_id>.*; lineage + metrics appended.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# running as a script: make the repo root importable (spark-submit ships
+# the package via --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_args(argv):
