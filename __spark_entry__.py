@@ -520,7 +520,44 @@ def quality_signals(spark, sf_dir):
 def lang_id_heuristic(spark, sf_dir):
     from hsip.textstats import lang_id_stopwords
 
-    return lang_id_stopwords(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    out = lang_id_stopwords(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "id", "lang_pred", F.col("lang_score").cast("long").alias("lang_score")
+    )
+
+
+def _lang_id_oracle_sql() -> str:
+    from hsip.textstats import _STOPWORDS
+
+    score_cols = ",\n                   ".join(
+        "len(list_intersect(toks, [{}])) AS {}".format(
+            ", ".join(f"'{w}'" for w in sorted(ws)), lang
+        )
+        for lang, ws in _STOPWORDS.items()
+    )
+    langs = list(_STOPWORDS)
+    best = f"greatest({', '.join(langs)})"
+    case = " ".join(
+        f"WHEN {lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       string_split_regex(lower(text), '\s+'), x -> x <> ''
+                   )) AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   {score_cols}
+            FROM t
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS id,
+               CASE WHEN {best} = 0 THEN 'und' {case} END AS lang_pred,
+               CAST({best} AS BIGINT) AS lang_score
+        FROM s
+    """
 
 
 def ann_rhp_lsh_topk(spark, sf_dir):
@@ -585,6 +622,26 @@ def substr_duplicate_spans(spark, sf_dir):
         verify_substr(pairs, docs, "doc_id", "text", cfg)
         .filter("verdict")
         .select("a", "b", "substr_len")
+    )
+
+
+def transcript_turn_equality_audit(spark, sf_dir):
+    """Invariant check (BASELINE.json:15): per-turn byte-exact text
+    equality under stable ordering. Returns VIOLATIONS — must be empty."""
+    from hsip.fixtures.gen import gen_transcripts, to_spark
+    from hsip.reassemble import (
+        audit_turn_equality,
+        dedupe_turn_versions,
+        explode_turns,
+        reassemble,
+    )
+
+    gen = gen_transcripts(seed=42, n_base=100)
+    turns, _ = to_spark(spark, gen)
+    deduped = dedupe_turn_versions(turns)
+    ours = explode_turns(reassemble(deduped))
+    return audit_turn_equality(ours, deduped).unionByName(
+        audit_turn_equality(deduped, ours)
     )
 
 
@@ -663,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_pairs": simhash_hamming_pairs,
         "substr_duplicate_spans": substr_duplicate_spans,
         "transcript_dedup_clusters": transcript_dedup_clusters,
+        "transcript_turn_equality_audit": transcript_turn_equality_audit,
         "approx_distinct_parts": approx_distinct_parts,
         "sampled_orders": sampled_orders,
     }
@@ -951,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
                        AS bpe_tokens
             FROM documents
         """,
+        "lang_id_heuristic": _lang_id_oracle_sql(),
         "quality_signals": r"""
             WITH t AS (
                 SELECT doc_id, text,

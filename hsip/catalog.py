@@ -86,12 +86,28 @@ class Catalog:
             "committed_at": time.time(),
             "meta": meta or {},
         }
+        if mode == "append" and os.path.exists(base):
+            # append = move the new part files into the live data dir with
+            # unique names, then swap the manifest — O(new data), never a
+            # rewrite of the table (Iceberg does this natively via
+            # snapshot metadata; this emulates it at file granularity)
+            data_dir = os.path.join(base, "data")
+            stamp = uuid.uuid4().hex[:8]
+            for i, fn in enumerate(sorted(os.listdir(os.path.join(tmp, "data")))):
+                if not fn.endswith(".parquet"):
+                    continue
+                os.rename(
+                    os.path.join(tmp, "data", fn),
+                    os.path.join(data_dir, f"append-{stamp}-{i:05d}.parquet"),
+                )
+            man_tmp = os.path.join(base, f"_MANIFEST.json.tmp-{stamp}")
+            with open(man_tmp, "w") as f:
+                json.dump(man, f)
+            os.rename(man_tmp, os.path.join(base, "_MANIFEST.json"))
+            shutil.rmtree(tmp)
+            return
         with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
             json.dump(man, f)
-        if mode == "append" and os.path.exists(base):
-            # append = union old data into the new snapshot dir, then swap
-            old = self.spark.read.parquet(os.path.join(base, "data"))
-            old.write.mode("append").parquet(os.path.join(tmp, "data"))
         if os.path.exists(base):
             shutil.rmtree(base)
         os.rename(tmp, base)

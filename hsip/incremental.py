@@ -87,10 +87,13 @@ def incremental_verified_pairs(
     index_features: DataFrame,
     index_bands: DataFrame,
     cfg: DedupConfig,
+    new_feats: DataFrame | None = None,
 ) -> DataFrame:
     """Full incremental slice: featurize the delta, generate delta-touching
-    candidates, verify exact Jaccard against the union feature table."""
-    new_feats = featurize(new_docs, id_col, text_col, cfg).cache()
+    candidates, verify exact Jaccard against the union feature table.
+    Pass ``new_feats`` when the caller already featurized the delta."""
+    if new_feats is None:
+        new_feats = featurize(new_docs, id_col, text_col, cfg).cache()
     pairs = incremental_candidates(new_feats, index_bands, cfg)
     all_shingles = new_feats.select("id", "shingles").unionByName(
         index_features.select("id", "shingles")

@@ -1,0 +1,75 @@
+"""Structured Streaming ingestion: cross-batch incremental dedup +
+watermarked metrics."""
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+
+from hsip.catalog import Catalog
+from hsip.config import DedupConfig
+from hsip.streaming import run_incremental_ingest, stream_turns, turn_rate_metrics
+
+
+def _write_wave(path: str, convs: dict[str, list[str]], t0: datetime):
+    rows = []
+    for cid, texts in convs.items():
+        for i, text in enumerate(texts):
+            rows.append((cid, i, "user", text, "", t0 + timedelta(seconds=i)))
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(path, index=False)
+
+
+def test_cross_batch_duplicate_found(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = DedupConfig(jaccard_threshold=0.7)
+
+    base = ["alpha beta gamma delta " * 20, "epsilon zeta eta theta " * 20]
+    t0 = datetime(2025, 6, 1)
+    _write_wave(str(inp / "wave1.parquet"), {"w1c1": base, "w1c2": ["totally different content here " * 25]}, t0)
+    run_incremental_ingest(spark, str(inp), wh, ckpt, cfg)
+
+    cat = Catalog(spark, wh)
+    assert cat.exists("index.features")
+    n1 = cat.read("index.features").count()
+    assert n1 == 2
+
+    # wave 2: exact duplicate of w1c1 arrives later
+    _write_wave(str(inp / "wave2.parquet"), {"w2dup": base}, t0 + timedelta(hours=1))
+    run_incremental_ingest(spark, str(inp), wh, ckpt, cfg)
+
+    assert cat.read("index.features").count() == 3
+    verified = {(r.a, r.b) for r in cat.read("stream.verified").collect()}
+    assert ("w1c1", "w2dup") in verified
+    # streaming checkpoint: wave1 not reprocessed (no self-pairs duplicated)
+    assert all(a != b for a, b in verified)
+
+
+def test_watermarked_turn_metrics(spark, tmp_path):
+    inp = tmp_path / "in2"
+    inp.mkdir()
+    _write_wave(
+        str(inp / "w.parquet"),
+        {"c1": ["hello"] * 3, "c2": ["hi"] * 2},
+        datetime(2025, 6, 1, 12, 0),
+    )
+    stream = stream_turns(spark, str(inp))
+    metrics = turn_rate_metrics(stream, window="10 minutes", watermark="1 hour")
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("turn_metrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM turn_metrics").collect()
+    assert sum(r.n_turns for r in rows) == 5
+    assert all(r.role == "user" for r in rows)
