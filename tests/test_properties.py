@@ -1,0 +1,116 @@
+"""Hypothesis property tests over the pure-numpy kernels (SURVEY §5.4).
+
+Spark stays out of the hypothesis loops — these pin the kernel math that
+the distributed operators delegate to.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hsip.config import DedupConfig
+from hsip.minhash import _coeffs, _oph_batch
+from hsip.simhash import _simhash_batch
+from hsip.suffixes import _rolling_hashes, _sliding_min, _winnow, duplicate_spans_local
+from hsip.textkernel import _doc_features
+
+import pandas as pd
+
+_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F),
+    min_size=0,
+    max_size=400,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_text, st.integers(2, 7))
+def test_doc_features_position_independence(t, k):
+    """Shingle hash of a token k-gram doesn't depend on where it sits:
+    embedding the same text in different prefixes yields overlapping
+    shingle sets for the shared part."""
+    base = " ".join(t.split()) or "x"
+    a = ("pre1 fix2 " + base).encode("utf-8")
+    b = ("completely different longer prefix here " + base).encode("utf-8")
+    sh_a, _ = _doc_features(np.frombuffer(a, np.uint8), k, np.uint64(1))
+    sh_b, _ = _doc_features(np.frombuffer(b, np.uint8), k, np.uint64(1))
+    toks = base.split()
+    if len(toks) >= k:
+        # every k-gram fully inside `base` is shared
+        n_shared_expected = len(toks) - k + 1
+        shared = len(set(sh_a.tolist()) & set(sh_b.tolist()))
+        assert shared >= min(n_shared_expected, 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-(2**62), 2**62), min_size=0, max_size=300),
+       st.integers(0, 5))
+def test_oph_deterministic_and_shape(xs, seed):
+    cfg = DedupConfig(num_perm=64, seed=seed)
+    a, b = _coeffs(cfg.num_perm, cfg.seed)
+    s = pd.Series([np.asarray(xs, dtype=np.int64)])
+    r1 = _oph_batch(s, 64, a[0], b[0])
+    r2 = _oph_batch(s, 64, a[0], b[0])
+    assert len(r1[0]) == 64
+    assert list(r1[0]) == list(r2[0])
+    if xs:
+        # identical sets (order shuffled) -> identical signatures
+        s2 = pd.Series([np.asarray(list(reversed(xs)), dtype=np.int64)])
+        assert list(_oph_batch(s2, 64, a[0], b[0])[0]) == list(r1[0])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.integers(-(2**62), 2**62), max_size=50),
+                min_size=1, max_size=12))
+def test_simhash_batch_matches_rowwise(rows):
+    """Batched segmented bit-vote == computing each row alone."""
+    arrs = pd.Series([np.asarray(r, dtype=np.int64) for r in rows])
+    batched = list(_simhash_batch(arrs))
+    for i, r in enumerate(rows):
+        alone = _simhash_batch(pd.Series([np.asarray(r, dtype=np.int64)]))[0]
+        assert batched[i] == alone
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=600), st.integers(2, 30),
+       st.integers(2, 40))
+def test_sliding_min_matches_naive(data, k, w):
+    h = _rolling_hashes(np.frombuffer(data, np.uint8), k)
+    if len(h) > w:
+        naive = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        assert (_sliding_min(h, w) == naive).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=100, max_size=400), st.binary(min_size=50, max_size=200),
+       st.binary(min_size=50, max_size=200), st.integers(10, 25),
+       st.integers(5, 20))
+def test_winnow_guarantee_planted_span(span, pre, post, k, w):
+    """A planted common span of length >= k+w-1 always yields a shared
+    selected fingerprint (Schleimer'03 theorem, our k/w parameterization)."""
+    L = k + w - 1
+    if len(span) < L:
+        return
+    a = pre + span
+    b = span + post
+    ha = _rolling_hashes(np.frombuffer(a, np.uint8), k)
+    hb = _rolling_hashes(np.frombuffer(b, np.uint8), k)
+    fa = set(ha[_winnow(ha, w)].tolist())
+    fb = set(hb[_winnow(hb, w)].tolist())
+    assert fa & fb
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.dictionaries(st.sampled_from(["d1", "d2", "d3", "d4"]),
+                       st.text(alphabet="abcd ", min_size=0, max_size=200),
+                       min_size=1, max_size=4),
+       st.integers(5, 40))
+def test_sa_oracle_spans_are_genuine(texts, min_len):
+    """Every span the suffix-array oracle reports actually exists in both
+    documents (substring containment check)."""
+    for a, b, l in duplicate_spans_local(texts, min_len):
+        assert l >= min_len
+        ta, tb = texts[a], texts[b]
+        assert any(
+            ta[i : i + l] and ta[i : i + l] in tb for i in range(len(ta) - l + 1)
+        )
