@@ -70,10 +70,13 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    sc = edges.sparkSession.sparkContext
     prev = _checksum(e)
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
+        sc.setJobDescription(f"hsip:cc_round_{rnd}")
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _checksum(e)
+        sc.setJobDescription(None)
         if cur == prev:
             break
         prev = cur

@@ -57,12 +57,14 @@ def _ephemeral(df: DataFrame, name: str = "?") -> DataFrame:
     # cache + materialize: stages are reused by multiple downstream joins
     t0 = time.time()
     df = df.cache()
+    df.sparkSession.sparkContext.setJobDescription(f"hsip:{name}")
     n = df.count()
+    df.sparkSession.sparkContext.setJobDescription(None)
     _log.info("stage %s: %d rows in %.2fs", name, n, time.time() - t0)
     return df
 
 
-def _reused(df: DataFrame, reuse: bool) -> DataFrame:
+def _reused(df: DataFrame, reuse: bool, name: str = "") -> DataFrame:
     """Cache + EAGERLY materialize frames that feed >1 downstream consumer.
 
     Eager matters: AQE materializes independent query-stage futures
@@ -74,7 +76,10 @@ def _reused(df: DataFrame, reuse: bool) -> DataFrame:
     """
     if reuse:
         df = df.cache()
+        sc = df.sparkSession.sparkContext
+        sc.setJobDescription(f"hsip:{name or 'materialize'}")
         df.count()
+        sc.setJobDescription(None)
     return df
 
 
@@ -108,7 +113,7 @@ def run_documents(
                 out = ckpt.materialize(name, build)
             rec.lineage(name, out, fp)
             return out
-        return _reused(build(), reuse)
+        return _reused(build(), reuse, name)
 
     base = _reused(
         docs.select(

@@ -88,63 +88,105 @@ def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
     return np.minimum(bwd[: n - w + 1], fwd[w - 1 : n])
 
 
-def _winnow(hashes: np.ndarray, w: int) -> np.ndarray:
-    """Positions of winnowing-selected fingerprints.
+def _sliding_max(h: np.ndarray, w: int) -> np.ndarray:
+    n = len(h)
+    nb = -(-n // w)
+    pad = nb * w - n
+    hp = np.concatenate([h, np.zeros(pad, dtype=h.dtype)]) if pad else h
+    blocks = hp.reshape(nb, w)
+    fwd = np.maximum.accumulate(blocks, axis=1).ravel()
+    bwd = np.maximum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+    return np.maximum(bwd[: n - w + 1], fwd[w - 1 : n])
 
-    Selected VALUE set = set of all w-window minima (the winnowing
-    guarantee is value-based); each value is anchored at its first
-    occurrence, which is a genuine match position because equal 64-bit
-    hashes imply equal window content (collision odds negligible)."""
+
+def _winnow(hashes: np.ndarray, w: int) -> np.ndarray:
+    """Positions of winnowing-selected fingerprints, fully vectorized O(n).
+
+    Position i is selected iff h[i] equals the min of SOME w-window
+    covering it, i.e. iff max_{j in covering range} sliding_min[j] ==
+    h[i] (sliding_min[j] <= h[i] for every covering j, so only equality
+    is possible at the max). The covering-range max is itself a sliding
+    max over the sliding-min array, with prefix/suffix maxima at the
+    boundaries — three linear passes total, no argsort, no Python loop.
+    """
     n = len(hashes)
     if n == 0:
         return np.empty(0, dtype=np.int64)
     if n <= w:
         return np.array([int(np.argmin(hashes))], dtype=np.int64)
-    vals = np.unique(_sliding_min(hashes, w))
-    order = np.argsort(hashes, kind="stable")
-    sorted_h = hashes[order]
-    pos = order[np.searchsorted(sorted_h, vals)]
-    return np.sort(pos)
+    m = _sliding_min(hashes, w)          # m[j] = min h[j..j+w-1], len n-w+1
+    nm = len(m)
+    cover_max = np.empty(n, dtype=hashes.dtype)
+    pre = np.maximum.accumulate(m)                 # pre[t] = max m[0..t]
+    suf = np.maximum.accumulate(m[::-1])[::-1]     # suf[t] = max m[t..]
+    # left region i < w-1: j-range [0, min(i, nm-1)]
+    li = np.minimum(np.arange(w - 1), nm - 1)
+    cover_max[: w - 1] = pre[li]
+    # right region i >= n-w+1: j-range [max(0, i-w+1), nm-1]
+    ri = np.maximum(np.arange(n - w + 1, n) - (w - 1), 0)
+    cover_max[n - w + 1 :] = suf[ri]
+    # interior i in [w-1, n-w] (nonempty iff nm >= w): j-range [i-w+1, i]
+    if nm >= w:
+        cover_max[w - 1 : n - w + 1] = _sliding_max(m, w)
+    return np.nonzero(cover_max == hashes)[0].astype(np.int64)
 
 
 def fingerprint_table(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
     """(id, text) -> (id, fp_hash: long, pos: int) winnowed fingerprints.
 
     Normalized text is fingerprinted (so near-identical whitespace/case
-    variants still match); positions refer to the normalized string.
+    variants still match); positions are byte offsets into the utf-8
+    encoding of the normalized string. mapInPandas emits the exploded
+    rows directly from concatenated numpy arrays — no per-fingerprint
+    Python objects (boxing 8M tuples measured ~10x the numpy cost).
     """
     k, w = cfg.substr_gram, cfg.winnow_window
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("fp_hash", T.LongType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+        ]
+    )
 
-    @pandas_udf(T.ArrayType(T.StructType([
-        T.StructField("fp_hash", T.LongType()),
-        T.StructField("pos", T.IntegerType()),
-    ])))
-    def fps(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for texts in it:
-            out = []
-            for s in texts:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, poss = [], [], []
+            for doc_id, s in zip(pdf["id"], pdf["_norm"]):
                 if s is None:
-                    out.append([])
                     continue
                 data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
                 h = _rolling_hashes(data, k)
                 sel = _winnow(h, w)
-                # same content repeated within one doc selects the same
-                # hash many times — keep one anchor per distinct hash
+                if not len(sel):
+                    continue
                 hv = h[sel].view(np.int64)
+                # one anchor per distinct hash within the doc
                 _, first = np.unique(hv, return_index=True)
-                out.append(
-                    [(int(hv[i]), int(sel[i])) for i in np.sort(first)]
+                first = np.sort(first)
+                ids.append(np.full(len(first), doc_id, dtype=object))
+                hashes.append(hv[first])
+                poss.append(sel[first].astype(np.int32))
+            if not ids:
+                yield pd.DataFrame(
+                    {"id": pd.Series([], dtype=str),
+                     "fp_hash": pd.Series([], dtype=np.int64),
+                     "pos": pd.Series([], dtype=np.int32)}
                 )
-            yield pd.Series(out)
+                continue
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(ids),
+                    "fp_hash": np.concatenate(hashes),
+                    "pos": np.concatenate(poss),
+                }
+            )
 
     normed = df.select(
         F.col(id_col).cast("string").alias("id"),
         norm_text_col(text_col, cfg).alias("_norm"),
     )
-    return normed.select(
-        "id", F.explode(fps(F.col("_norm"))).alias("fp")
-    ).select("id", F.col("fp.fp_hash").alias("fp_hash"), F.col("fp.pos").alias("pos"))
+    return normed.mapInPandas(run, schema=out_schema)
 
 
 def substr_candidates(
@@ -202,17 +244,30 @@ def substr_candidates(
     return pairs, hot_stats
 
 
-def _extend_span(ta: str, tb: str, pa: int, pb: int, k: int) -> int:
-    """Maximal common span around an anchor window (exact char compare)."""
-    if ta[pa : pa + k] != tb[pb : pb + k]:
+def _extend_span(ta: np.ndarray, tb: np.ndarray, pa: int, pb: int, k: int) -> int:
+    """Maximal common span around an anchor window over uint8 arrays.
+
+    Vectorized mismatch search — per-character Python loops cost ~1us/char,
+    which matters when exact-duplicate documents extend to full length
+    (a 10KB doc pair = 10k iterations per anchor)."""
+    if pa + k > len(ta) or pb + k > len(tb):
         return 0
-    lo = 0
-    while pa - lo - 1 >= 0 and pb - lo - 1 >= 0 and ta[pa - lo - 1] == tb[pb - lo - 1]:
-        lo += 1
-    hi = 0
-    la, lb = len(ta), len(tb)
-    while pa + k + hi < la and pb + k + hi < lb and ta[pa + k + hi] == tb[pb + k + hi]:
-        hi += 1
+    if not (ta[pa : pa + k] == tb[pb : pb + k]).all():
+        return 0
+    m = min(pa, pb)
+    if m:
+        left = ta[pa - m : pa][::-1] != tb[pb - m : pb][::-1]
+        nz = np.nonzero(left)[0]
+        lo = int(nz[0]) if len(nz) else m
+    else:
+        lo = 0
+    n = min(len(ta) - pa, len(tb) - pb) - k
+    if n > 0:
+        right = ta[pa + k : pa + k + n] != tb[pb + k : pb + k + n]
+        nz = np.nonzero(right)[0]
+        hi = int(nz[0]) if len(nz) else n
+    else:
+        hi = 0
     return lo + k + hi
 
 
@@ -237,9 +292,13 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
     def span_len(ta: pd.Series, tb: pd.Series, pas: pd.Series, pbs: pd.Series) -> pd.Series:
         out = np.zeros(len(ta), dtype=np.int32)
         for i in range(len(ta)):
+            # anchor positions are byte offsets into the utf-8 encoding
+            # (matching fingerprint_table) — compare bytes, not chars
+            ba = np.frombuffer((ta.iloc[i] or "").encode("utf-8"), np.uint8)
+            bb = np.frombuffer((tb.iloc[i] or "").encode("utf-8"), np.uint8)
             best = 0
             for pa, pb in zip(pas.iloc[i], pbs.iloc[i]):
-                best = max(best, _extend_span(ta.iloc[i], tb.iloc[i], int(pa), int(pb), k))
+                best = max(best, _extend_span(ba, bb, int(pa), int(pb), k))
                 if best >= min_len:
                     break
             out[i] = best
