@@ -30,7 +30,12 @@ class DedupConfig:
     # LSH banding (G3/G4); threshold ~ (1/b)^(1/r) = (1/32)^(1/4) ~ 0.42
     lsh_bands: int = 32
     lsh_rows: int = 4
-    bucket_cap: int = 64            # hot-bucket star-pairing threshold (§4.2.1)
+    bucket_cap: int = 64            # hot-bucket policy threshold (§4.2.1)
+    # hot-bucket policy: "star" (pair to bucket min — keeps the bucket one
+    # component; right for duplicate groups) or "salt" (pmod(xxhash64(id),s)
+    # sub-buckets, all-pairs within; bounds task cost, drops cross-salt
+    # pairs, truncation logged; right for boilerplate buckets)
+    hot_bucket_policy: str = "star"
     # verification (V2)
     jaccard_threshold: float = 0.8
     # SimHash (G5/G6)
@@ -47,6 +52,7 @@ class DedupConfig:
     lowercase: bool = True
     collapse_ws: bool = True
     strip_punct: bool = False
+    nfc: bool = False               # Unicode NFC (pandas UDF; off for oracle parity)
     # ops
     max_turns_per_conv: int = 10_000  # spill guard, logged when hit (§4.2.5)
 

@@ -38,13 +38,27 @@ def pairs_from_buckets(
     id_col: str = "id",
     bucket_cols: tuple[str, ...] = ("band_id", "band_hash"),
     channel: str = "minhash_lsh",
+    hot_policy: str = "star",
+    salt_seed: int = 42,
 ) -> tuple[DataFrame, DataFrame]:
-    """Generic bucket -> candidate-pair expansion with hot-bucket star mode.
+    """Generic bucket -> candidate-pair expansion with hot-bucket control.
 
     Returns (pairs(a,b,channel), hot_bucket_stats) — the latter feeds the
     metrics table (SURVEY.md S6; "no silent caps").
     Reused by every candidate channel (LSH bands, Hamming blocks,
     substring fingerprints): they all reduce to "same bucket key => pair".
+
+    Hot-bucket policies (bucket size > cap, SURVEY §4.2.1):
+      "star" (default) — every member pairs with the bucket minimum:
+          O(m) edges, the bucket stays ONE component through CC. Best
+          when hot buckets are genuine duplicate groups (exact copies).
+      "salt" — blocking-key salting: members are split into
+          ceil(m/cap) sub-buckets by pmod(xxhash64(id), s); all-pairs
+          within each sub-bucket. Bounds per-task work at O(cap^2);
+          cross-salt pairs are intentionally dropped (recall comes from
+          the doc's other b-1 bands) and the truncation is LOGGED via
+          hot_bucket_stats. Best when hot buckets are boilerplate noise
+          that should NOT merge into one component.
     """
     cols = list(bucket_cols)
     # Bucket sizes via groupBy + join-back, NOT a window count: groupBy
@@ -66,15 +80,34 @@ def pairs_from_buckets(
         F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
     )
 
-    # hot buckets: connect every member to the bucket minimum (star). The
-    # bucket stays one connected component in the pair graph at O(m) edges.
     hot = tagged.filter(F.col("bsz") > cap)
-    hot_min = hot.groupBy(*cols).agg(F.min(id_col).alias("a"))
-    hot_pairs = (
-        hot.join(hot_min, cols)
-        .filter(F.col(id_col) != F.col("a"))
-        .select("a", F.col(id_col).alias("b"))
-    )
+    if hot_policy == "salt":
+        # blocking-key salting: sub-bucket by pmod(xxhash64(id), s),
+        # s sized so each sub-bucket ~<= cap members
+        salted = hot.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(salt_seed)),
+                F.greatest(F.ceil(F.col("bsz") / cap), F.lit(1)),
+            ),
+        )
+        hx, hy = salted.alias("hx"), salted.alias("hy")
+        hcond = [F.col(f"hx.{c}") == F.col(f"hy.{c}") for c in cols] + [
+            F.col("hx._salt") == F.col("hy._salt"),
+            F.col(f"hx.{id_col}") < F.col(f"hy.{id_col}"),
+        ]
+        hot_pairs = hx.join(hy, hcond).select(
+            F.col(f"hx.{id_col}").alias("a"), F.col(f"hy.{id_col}").alias("b")
+        )
+    else:
+        # star: connect every member to the bucket minimum — O(m) edges,
+        # the bucket stays one connected component in the pair graph
+        hot_min = hot.groupBy(*cols).agg(F.min(id_col).alias("a"))
+        hot_pairs = (
+            hot.join(hot_min, cols)
+            .filter(F.col(id_col) != F.col("a"))
+            .select("a", F.col(id_col).alias("b"))
+        )
 
     pairs = (
         small_pairs.unionByName(hot_pairs)
@@ -94,4 +127,7 @@ def lsh_candidates(sig_df: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, Data
     bands = band_table(sig_df, cfg)
     # co-locate bucket members before the self-join; AQE coalesces after
     bands = bands.repartition("band_id", "band_hash")
-    return pairs_from_buckets(bands, cfg.bucket_cap, channel="minhash_lsh")
+    return pairs_from_buckets(
+        bands, cfg.bucket_cap, channel="minhash_lsh",
+        hot_policy=cfg.hot_bucket_policy, salt_seed=cfg.seed,
+    )

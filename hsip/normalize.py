@@ -9,14 +9,28 @@ reference's normalize step (SURVEY.md §0.1 stage 1).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from .config import DedupConfig
 
 
+@pandas_udf(T.StringType())
+def _nfc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # Unicode NFC has no Spark built-in; pandas str.normalize is C-backed
+    for s in it:
+        yield s.str.normalize("NFC")
+
+
 def norm_text_col(col: str | Column, cfg: DedupConfig) -> Column:
     c = F.col(col) if isinstance(col, str) else col
+    if cfg.nfc:
+        c = _nfc(c)
     if cfg.lowercase:
         c = F.lower(c)
     if cfg.strip_punct:

@@ -114,13 +114,15 @@ def _doc_features(data: np.ndarray, k: int, seed: np.uint64) -> tuple[np.ndarray
 def featurize(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
     """(id, text) -> (id, shingles, sig, simhash), one fused numpy pass."""
     k, seed, num_perm, variant = cfg.shingle_k, cfg.seed, cfg.num_perm, cfg.minhash_variant
-    lowercase, collapse = cfg.lowercase, cfg.collapse_ws
+    lowercase, collapse, nfc = cfg.lowercase, cfg.collapse_ws, cfg.nfc
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = _coeffs(num_perm, seed)
         seed64 = np.uint64(seed)
         for pdf in batches:
             texts = pdf[text_col].astype("string").fillna("")
+            if nfc:
+                texts = texts.str.normalize("NFC")
             if lowercase:
                 texts = texts.str.lower()
             if collapse:

@@ -47,6 +47,26 @@ def test_hot_bucket_star_pairing(spark):
     assert hot.count() == 1
 
 
+def test_hot_bucket_salt_policy(spark):
+    """Salt mode: bounded sub-bucket all-pairs, cross-salt pairs dropped,
+    hot bucket still reported in stats (no silent truncation)."""
+    rows = [(f"id{i:02d}", 0, 7) for i in range(20)]
+    df = spark.createDataFrame(rows, "id string, band_id int, band_hash long")
+    pairs, hot = pairs_from_buckets(df, cap=5, hot_policy="salt")
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert hot.count() == 1
+    # ceil(20/5)=4 salts -> ~5 members each -> ~4*C(5,2)=40 pairs max,
+    # strictly less than all-pairs C(20,2)=190
+    assert 0 < len(got) < 190
+    # every emitted pair shares a salt bucket
+    from pyspark.sql import functions as F
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64("id", F.lit(42)), F.lit(4))
+    )
+    salt_of = {r.id: r._salt for r in salted.collect()}
+    assert all(salt_of[a] == salt_of[b] for a, b in got)
+
+
 def test_s_curve_candidate_probability(spark):
     """P(candidate) ~ 1-(1-s^r)^b on seeded pairs (SURVEY.md §5.4)."""
     cfg = DedupConfig(num_perm=64, lsh_bands=16, lsh_rows=4, bucket_cap=10_000)
