@@ -476,6 +476,28 @@ def embedding_topk_neighbors(spark, sf_dir):
     )
 
 
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute force, oracle-able)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+    )
+    na = F.sqrt(F.expr(
+        "aggregate(ea, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    ))
+    nb = F.sqrt(F.expr(
+        "aggregate(eb, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+    ))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (na * nb)).alias("cos"))
+        .filter(F.col("cos") >= 0.42)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
 def embedding_label_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     norm = F.expr(
@@ -708,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_counts": shingle_counts,
         # embeddings / similarity search
         "embedding_topk_neighbors": embedding_topk_neighbors,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "embedding_label_stats": embedding_label_stats,
         "token_counts": token_counts,
         "quality_signals": quality_signals,
@@ -993,6 +1016,16 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM scored
             ) WHERE rk <= 3
+        """,
+        "embedding_near_dup_pairs": """
+            SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                           AS cos
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ) WHERE cos >= 0.42
         """,
         "embedding_label_stats": """
             SELECT label, count(*) AS n,
