@@ -357,7 +357,12 @@ def dedup_exact_pairs(spark, sf_dir):
 
 
 def token_jaccard_pairs(spark, sf_dir):
-    """Blocked n-gram-Jaccard matching, fully SQL-expressible (V2 oracle)."""
+    """Blocked n-gram-Jaccard matching, fully SQL-expressible (V2 oracle).
+
+    ORACLE-ONLY BASELINE: O(block^2) within (lang, source) by design so
+    DuckDB can replicate it exactly. Do NOT copy into the pipeline — the
+    scale path for Jaccard near-dups is the MinHash+LSH channel
+    (hsip/minhash.py + hsip/lsh.py), candidate volume ~linear."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -425,6 +430,29 @@ def doc_fingerprints(spark, sf_dir):
     return docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fingerprint"))
 
 
+def minhash_e2e_clusters(spark, sf_dir):
+    """End-to-end MinHash -> LSH -> exact-Jaccard verify -> connected
+    components, oracle-verifiable: with r=1 bands over num_perm=256
+    coordinates a J>=0.7 pair is a candidate with probability
+    1-(1-J)^256 (~1 - 1e-134) and caps are disabled, so the output is
+    exactly "connected components of the Jaccard>=0.7 graph" — which
+    DuckDB reproduces with brute-force pair enumeration + a recursive-CTE
+    reachability closure. Upgrades the flagship pipeline from rows-only
+    to hash-verified (VERDICT.md round 1, item 1)."""
+    from hsip.config import DedupConfig
+    from hsip.pipeline import run_documents
+
+    cfg = DedupConfig(
+        num_perm=256, lsh_bands=256, lsh_rows=1,
+        jaccard_threshold=0.7, bucket_cap=1_000_000,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    res = run_documents(
+        spark, docs, "doc_id", "text", cfg, channels=("minhash_lsh",)
+    )
+    return res.clusters
+
+
 def shingle_counts(spark, sf_dir):
     """G1 oracle without engine-specific hashing: distinct 3-gram counts."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -477,7 +505,12 @@ def embedding_topk_neighbors(spark, sf_dir):
 
 
 def embedding_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (brute force, oracle-able)."""
+    """Embedding-cosine near-duplicate pairs (brute force, oracle-able).
+
+    ORACLE-ONLY BASELINE: the id_a < id_b join is a nested-loop cartesian
+    by design so DuckDB can replicate it exactly. Do NOT copy into the
+    pipeline — the scale path for embedding near-dups is the bucketed
+    random-hyperplane LSH in hsip/similarity.py (rhp_lsh_topk)."""
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
@@ -728,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_fingerprints": doc_fingerprints,
         "shingle_counts": shingle_counts,
+        "minhash_e2e_clusters": minhash_e2e_clusters,
         # embeddings / similarity search
         "embedding_topk_neighbors": embedding_topk_neighbors,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -994,6 +1028,54 @@ def oracle_sql() -> dict[str, str]:
                        )
                    )) ELSE 0 END AS BIGINT) AS n_shingles
             FROM t
+        """,
+        # brute-force Jaccard>=0.7 pair graph + recursive-CTE reachability
+        # closure == the pipeline's LSH(r=1,cap-free)+verify+CC output.
+        # Shingle sets mirror textkernel._doc_features: distinct 5-token
+        # grams of the normalized text; <5 tokens -> the whole text;
+        # empty text -> empty set (Jaccard 0 by convention).
+        "minhash_e2e_clusters": f"""
+            WITH RECURSIVE t AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       {norm_text} AS nt
+                FROM documents
+            ),
+            tok AS (
+                SELECT id, nt,
+                       list_filter(string_split(nt, ' '), x -> x <> '') AS toks
+                FROM t
+            ),
+            sh AS (
+                SELECT id,
+                       CASE
+                           WHEN nt = '' THEN []::VARCHAR[]
+                           WHEN len(toks) >= 5 THEN list_distinct(
+                               list_transform(
+                                   range(1, len(toks) - 3),
+                                   i -> array_to_string(toks[i:i+4], ' ')
+                               ))
+                           ELSE [nt]
+                       END AS s
+                FROM tok
+            ),
+            pairs AS (
+                SELECT a.id AS ia, b.id AS ib
+                FROM sh a JOIN sh b ON a.id < b.id
+                WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+            ),
+            edges AS (
+                SELECT ia AS src, ib AS dst FROM pairs
+                UNION ALL
+                SELECT ib AS src, ia AS dst FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT id, id FROM t
+                UNION
+                SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+            )
+            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
         """,
         "embedding_topk_neighbors": """
             WITH probes AS (
