@@ -86,43 +86,56 @@ def rhp_signatures(emb: DataFrame, dim: int, n_bits: int = 64, seed: int = 42,
 
 def rhp_lsh_topk(emb: DataFrame, k: int, dim: int, n_bits: int = 64,
                  band_bits: int = 8, seed: int = 42, bucket_cap: int = 512,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 recorder=None, hot_policy: str = "star") -> DataFrame:
     """Approximate top-k: band the sign signature into n_bits/band_bits
     bucket keys, exact-cosine re-rank within buckets.
 
-    Scale shape: shuffle on (band, key) co-locates candidates; bucket_cap
-    star-truncates degenerate buckets (logged upstream by callers via the
-    returned bucket sizes when needed)."""
-    sigs = rhp_signatures(emb, dim, n_bits, seed, id_col, vec_col)
+    Scale shape (VERDICT.md r1 findings 1+2 fixed here):
+      - only (id, band_id, band_key) crosses the bucket shuffle — the
+        float vectors are hydrated AFTER pair generation via two equi-
+        joins (the verify.py V1 pattern), not carried once per band;
+      - bucket pairing routes through lsh.pairs_from_buckets, so hot
+        buckets get the star/salt policy instead of being silently
+        dropped (a query landing only in degenerate buckets still gets
+        neighbors), and truncations land in the metrics table when a
+        ``recorder`` (hsip.metrics.Recorder) is passed — no silent caps.
+    """
+    from .lsh import pairs_from_buckets
+
+    sigs = rhp_signatures(emb, dim, n_bits, seed, id_col, vec_col).cache()
     n_bands = n_bits // band_bits
     mask = (1 << band_bits) - 1
-    bands = F.array(
+    band_arr = F.array(
         *[
             F.shiftright(F.col("sig"), i * band_bits).bitwiseAND(F.lit(mask))
             for i in range(n_bands)
         ]
     )
-    exploded = sigs.select(
-        "id", "v", F.posexplode(bands).alias("band_id", "band_key")
-    ).repartition("band_id", "band_key")
+    # keys only through the shuffle; cached per the pairs_from_buckets
+    # contract (sizes-groupBy and join-back both scan it)
+    bands = (
+        sigs.select("id", F.posexplode(band_arr).alias("band_id", "band_key"))
+        .repartition("band_id", "band_key")
+        .cache()
+    )
+    bands.count()
+    pairs, hot_stats = pairs_from_buckets(
+        bands, bucket_cap, bucket_cols=("band_id", "band_key"),
+        channel="rhp_lsh", hot_policy=hot_policy, salt_seed=seed,
+    )
+    if recorder is not None:
+        recorder.metric("rhp_lsh_topk", "hot_buckets", hot_stats.count())
 
-    sizes = exploded.groupBy("band_id", "band_key").count()
-    small = exploded.join(
-        sizes.filter(F.col("count") <= bucket_cap), ["band_id", "band_key"]
-    ).drop("count")
-    x, y = small.alias("x"), small.alias("y")
-    cand = x.join(
-        y,
-        (F.col("x.band_id") == F.col("y.band_id"))
-        & (F.col("x.band_key") == F.col("y.band_key"))
-        & (F.col("x.id") != F.col("y.id")),
-    ).select(
-        F.col("x.id").alias("q_id"),
-        F.col("y.id").alias("n_id"),
-        F.col("x.v").alias("q"),
-        F.col("y.v").alias("v"),
-    ).dropDuplicates(["q_id", "n_id"])
-    scored = cand.select("q_id", "n_id", _cosine_expr("q", "v").alias("cos"))
+    # each undirected candidate serves both query directions
+    directed = pairs.select(
+        F.col("a").alias("q_id"), F.col("b").alias("n_id")
+    ).unionByName(pairs.select(F.col("b").alias("q_id"), F.col("a").alias("n_id")))
+    vecs = sigs.select("id", "v")
+    hydrated = directed.join(
+        vecs.select(F.col("id").alias("q_id"), F.col("v").alias("q")), "q_id"
+    ).join(vecs.select(F.col("id").alias("n_id"), F.col("v").alias("v")), "n_id")
+    scored = hydrated.select("q_id", "n_id", _cosine_expr("q", "v").alias("cos"))
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -5,8 +5,18 @@ The production pipeline is resumable BATCH (north_rule), but ongoing
 ingestion maps naturally onto Structured Streaming: a file/Kafka stream
 of turns is micro-batched, each batch is reassembled + featurized, and
 ``foreachBatch`` runs the same incremental delta-vs-index logic as
-hsip/incremental.py — exactly-once per batch via the streaming
-checkpoint + idempotent Catalog appends keyed by batch id.
+hsip/incremental.py.
+
+Exactly-once: foreachBatch is at-least-once, so every appended row
+carries ``batch_id`` and three guards make replays true no-ops
+(ADVICE.md r1): (1) a ``stream.batches`` marker table, appended LAST —
+a replayed batch whose marker exists is skipped outright; (2) if the
+marker is missing but a previous attempt died mid-way, each append
+anti-joins against rows already present for this batch_id, so partial
+writes are completed, not duplicated; (3) the streaming checkpoint
+itself replays at most the last unfinished batch. On an Iceberg
+deployment guard (2) becomes a MERGE / DELETE WHERE batch_id=N +
+append inside one snapshot commit.
 
 Also provides a watermarked windowed aggregation (turn-rate metrics)
 demonstrating late-data handling for the metrics side.
@@ -67,35 +77,79 @@ def run_incremental_ingest(
     verified delta pairs appended to ``stream.verified``.
     """
     catalog = Catalog(spark, warehouse)
+    # batch ids are only unique within one streaming checkpoint lineage,
+    # so replay bookkeeping is keyed (stream_id, batch_id)
+    stream_id = checkpoint_dir
+
+    def _append_once(df: DataFrame, ident: str, keys: list[str], batch_id: int) -> None:
+        """Idempotent append: skip rows this (stream, batch) already
+        committed (replay-after-partial-failure guard; no-op otherwise)."""
+        if catalog.exists(ident):
+            prior = (
+                catalog.read(ident)
+                .filter(
+                    (F.col("batch_id") == batch_id)
+                    & (F.col("stream_id") == stream_id)
+                )
+                .select(keys)
+            )
+            df = df.join(prior, keys, "left_anti")
+        catalog.write(df, ident, mode="append")
 
     def process_batch(batch_turns: DataFrame, batch_id: int) -> None:
         if batch_turns.isEmpty():
             return
+        # replayed batch whose commit marker exists: true no-op
+        if catalog.exists("stream.batches"):
+            committed = (
+                catalog.read("stream.batches")
+                .filter(
+                    (F.col("batch_id") == batch_id)
+                    & (F.col("stream_id") == stream_id)
+                )
+                .count()
+            )
+            if committed:
+                return
         from .reassemble import dedupe_turn_versions, reassemble
 
         convs = reassemble(dedupe_turn_versions(batch_turns)).select(
             "conv_id", "doc_text"
         )
         new_feats = featurize(convs, "conv_id", "doc_text", cfg).cache()
+        # built ONCE, reused for candidates and the index append
+        new_bands = band_table(new_feats.select("id", "sig"), cfg).cache()
+        new_bands.count()
         if catalog.exists("index.features"):
             idx_feats = catalog.read("index.features")
             idx_bands = catalog.read("index.bands")
         else:
             idx_feats = spark.createDataFrame([], new_feats.schema)
-            idx_bands = spark.createDataFrame(
-                [], band_table(new_feats.select("id", "sig"), cfg).schema
-            )
+            idx_bands = spark.createDataFrame([], new_bands.schema)
         verified = incremental_verified_pairs(
             convs, "conv_id", "doc_text", idx_feats, idx_bands, cfg,
-            new_feats=new_feats,
-        ).withColumn("batch_id", F.lit(batch_id))
-        catalog.write(verified.filter("verdict"), "stream.verified", mode="append")
-        catalog.write(new_feats, "index.features", mode="append")
+            new_feats=new_feats, new_bands=new_bands,
+        ).withColumn("batch_id", F.lit(batch_id)).withColumn(
+            "stream_id", F.lit(stream_id)
+        )
+        bid = F.lit(batch_id).alias("batch_id")
+        sid = F.lit(stream_id).alias("stream_id")
+        _append_once(verified.filter("verdict"), "stream.verified", ["a", "b"], batch_id)
+        _append_once(
+            new_feats.select("*", bid, sid), "index.features", ["id"], batch_id
+        )
+        _append_once(
+            new_bands.select("*", bid, sid), "index.bands",
+            ["id", "band_id", "band_hash"], batch_id,
+        )
         catalog.write(
-            band_table(new_feats.select("id", "sig"), cfg), "index.bands",
-            mode="append",
+            spark.createDataFrame(
+                [(stream_id, batch_id)], "stream_id string, batch_id long"
+            ),
+            "stream.batches", mode="append",
         )
         new_feats.unpersist()
+        new_bands.unpersist()
 
     writer = (
         stream_turns(spark, input_dir)

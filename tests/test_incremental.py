@@ -57,3 +57,32 @@ def test_incremental_matches(spark, corpus):
     assert ("new004", "new005") in kept       # within-delta pair
     # no old-x-old pairs ever emitted
     assert not any(a.startswith("old") and b.startswith("old") for a, b in kept)
+
+
+def test_incremental_hot_index_bucket(spark):
+    """Over-cap index buckets must not be silently dropped NOR sorted in
+    a single-task window: the delta doc star-pairs with the bucket's min
+    index id and the truncation is surfaced (VERDICT.md r1 finding 3)."""
+    from hsip.incremental import incremental_candidates
+    from hsip.lsh import band_table
+    from hsip.textkernel import featurize
+
+    cfg = DedupConfig(bucket_cap=4)
+    text = " ".join(f"tok{i}" for i in range(30))
+    old_df = spark.createDataFrame(
+        [(f"old{i:02d}", text) for i in range(12)], "doc_id string, text string"
+    )
+    new_df = spark.createDataFrame([("new001", text)], "doc_id string, text string")
+    idx_bands = band_table(
+        featurize(old_df, "doc_id", "text", cfg).select("id", "sig"), cfg
+    ).cache()
+    idx_bands.count()
+    new_feats = featurize(new_df, "doc_id", "text", cfg).cache()
+
+    pairs, hot_stats = incremental_candidates(new_feats, idx_bands, cfg)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert got == {("new001", "old00")}, got  # star vs index bucket min
+    assert hot_stats.count() > 0              # truncation is logged
+    # skew guard: no single-partition Window sort anywhere in the plan
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, "per-bucket window cap reintroduced"

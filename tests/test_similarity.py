@@ -61,3 +61,25 @@ def test_rhp_lsh_recall_vs_brute_force(spark, emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"RHP-LSH recall {recall}"
+
+
+def test_rhp_lsh_hot_bucket_not_dropped(spark):
+    """A query landing ONLY in over-cap buckets must still get neighbors
+    (star fallback), and the truncation must reach the metrics recorder —
+    no silent caps (VERDICT.md r1 finding 1)."""
+    rows = [(i, [1.0] * 8) for i in range(40)]  # one degenerate bucket >> cap
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    class Rec:
+        def __init__(self):
+            self.rows = []
+
+        def metric(self, stage, key, value):
+            self.rows.append((stage, key, value))
+
+    rec = Rec()
+    out = rhp_lsh_topk(
+        emb, k=1, dim=8, band_bits=4, seed=7, bucket_cap=8, recorder=rec
+    ).collect()
+    assert len(out) == 40, "hot-bucket queries were silently dropped"
+    assert rec.rows and rec.rows[0][0] == "rhp_lsh_topk" and rec.rows[0][2] > 0

@@ -73,3 +73,35 @@ def test_watermarked_turn_metrics(spark, tmp_path):
     rows = spark.sql("SELECT * FROM turn_metrics").collect()
     assert sum(r.n_turns for r in rows) == 5
     assert all(r.role == "user" for r in rows)
+
+
+def test_replay_after_lost_checkpoint_is_noop(spark, tmp_path):
+    """At-least-once replay (streaming checkpoint lost, marker table
+    dropped mid-commit) must not duplicate index or verified rows — the
+    (stream_id, batch_id) guards make re-appends true no-ops (ADVICE r1)."""
+    import shutil
+
+    inp = tmp_path / "in3"
+    inp.mkdir()
+    wh = str(tmp_path / "wh3")
+    ckpt = str(tmp_path / "ckpt3")
+    cfg = DedupConfig(jaccard_threshold=0.7)
+    base = ["one two three four " * 20]
+    _write_wave(str(inp / "w1.parquet"), {"c1": base, "c2": base}, datetime(2025, 6, 1))
+    run_incremental_ingest(spark, str(inp), wh, ckpt, cfg)
+
+    cat = Catalog(spark, wh)
+    n_feats = cat.read("index.features").count()
+    n_bands = cat.read("index.bands").count()
+    n_verified = cat.read("stream.verified").count()
+    assert n_feats == 2 and n_verified == 1
+
+    # simulate the worst replay: streaming checkpoint AND commit marker
+    # lost after the data appends landed
+    cat.drop("stream.batches")
+    shutil.rmtree(ckpt)
+    run_incremental_ingest(spark, str(inp), wh, ckpt, cfg)
+
+    assert cat.read("index.features").count() == n_feats
+    assert cat.read("index.bands").count() == n_bands
+    assert cat.read("stream.verified").count() == n_verified
