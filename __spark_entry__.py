@@ -33,6 +33,27 @@ def _norm(col):
 _NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
 
 
+def _attach_rank(top: DataFrame, metric: str, key: str) -> DataFrame:
+    """rk over an already-top-k frame WITHOUT a global window.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (parallel
+    partial top-k per partition, merged on the driver); ranking the k
+    survivors is then a broadcast self-join counting rows strictly ahead
+    in (metric DESC, key ASC) order — no single-partition WindowExec
+    anywhere in the plan, so the pattern survives a 100x scale-up
+    (VERDICT.md r1 finding 4)."""
+    x, y = top.alias("x"), top.alias("y")
+    ahead = (F.col(f"y.{metric}") > F.col(f"x.{metric}")) | (
+        (F.col(f"y.{metric}") == F.col(f"x.{metric}"))
+        & (F.col(f"y.{key}") < F.col(f"x.{key}"))
+    )
+    return (
+        x.join(F.broadcast(y), ahead, "left")
+        .groupBy(F.col(f"x.{key}").alias(key), F.col(f"x.{metric}").alias(metric))
+        .agg((F.count(F.col(f"y.{key}")) + 1).cast("int").alias("rk"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -87,11 +108,9 @@ def q3_top_revenue_orders(spark, sf_dir):
             ).alias("revenue")
         )
     )
-    w = W.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("l_orderkey", "revenue", "rk")
+    top = rev.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+    return _attach_rank(top, "revenue", "l_orderkey").select(
+        "l_orderkey", "revenue", "rk"
     )
 
 
@@ -177,12 +196,8 @@ def explode_token_frequencies(spark, sf_dir):
         F.explode(F.split(_norm(F.col("text")), " ")).alias("token")
     )
     agg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    w = W.orderBy(F.desc("freq"), F.asc("token"))
-    return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("token", "freq", "rk")
-    )
+    top = agg.orderBy(F.desc("freq"), F.asc("token")).limit(20)
+    return _attach_rank(top, "freq", "token").select("token", "freq", "rk")
 
 
 def pivot_returnflag_linestatus(spark, sf_dir):
@@ -336,15 +351,19 @@ def events_burst_pairs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def dedup_exact_clusters(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    w = W.partitionBy("norm")
-    return (
-        docs.withColumn("norm", _norm(F.col("text")))
-        .select(
-            "doc_id",
-            F.min("doc_id").over(w).alias("cluster_id"),
-            F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
-        )
+    """Exact dedup: shuffle key is md5(norm) — a 128-bit digest — so the
+    full document text never crosses the exchange (VERDICT.md r1
+    finding 5); groupBy + join-back instead of a window keeps the
+    aggregation map-side-combining."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "h", F.md5(_norm(F.col("text")))
+    )
+    grp = docs.groupBy("h").agg(
+        F.min("doc_id").alias("cluster_id"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    return docs.select("doc_id", "h").join(grp, "h").select(
+        "doc_id", "cluster_id", "cluster_size"
     )
 
 

@@ -67,6 +67,19 @@ class Catalog:
         with open(os.path.join(self._path(ident), "_MANIFEST.json")) as f:
             return json.load(f)
 
+    def properties(self, ident: str) -> dict:
+        """Table metadata key/values: Iceberg table properties (written as
+        ``hsip.<key>`` at create time) or the parquet manifest's meta —
+        one shape for checkpoint-fingerprint comparison either way."""
+        if self.iceberg_catalog:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {self.iceberg_catalog}.{ident}"
+            ).collect()
+            return {
+                r[0][len("hsip."):]: r[1] for r in rows if r[0].startswith("hsip.")
+            }
+        return self.manifest(ident).get("meta", {})
+
     # -- write (atomic) --------------------------------------------------
     def write(self, df: DataFrame, ident: str, mode: str = "overwrite",
               meta: dict | None = None) -> None:
@@ -75,7 +88,12 @@ class Catalog:
             if mode == "append" and self.exists(ident):
                 df.writeTo(full).append()
             else:
-                df.writeTo(full).createOrReplace()
+                w = df.writeTo(full)
+                for k, v in (meta or {}).items():
+                    # carried as Iceberg table properties so checkpoint
+                    # fingerprints survive on the cluster path too
+                    w = w.tableProperty(f"hsip.{k}", str(v))
+                w.createOrReplace()
             return
         base = self._path(ident)
         tmp = f"{base}.tmp-{uuid.uuid4().hex[:8]}"

@@ -59,22 +59,40 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, checkpoint_dir: str | None = None
+) -> DataFrame:
     """edges(a, b) -> (id, cluster_id); covers only ids present in edges.
 
     Use ``assign_clusters`` to extend to singleton ids.
+
+    Lineage truncation per round: ``localCheckpoint`` (executor-local,
+    fast — right for benchmarks and ephemeral jobs) unless
+    ``checkpoint_dir`` is set, in which case reliable ``checkpoint()``
+    writes each round to fault-tolerant storage — on a real cluster an
+    executor loss then recovers from the checkpoint instead of
+    recomputing a truncated lineage that no longer exists (SURVEY
+    §4.2.3; VERDICT.md r1 finding 7).
     """
-    e = (
+    sc = edges.sparkSession.sparkContext
+    if checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _trunc(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _trunc(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    e = _trunc(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    sc = edges.sparkSession.sparkContext
     prev = _checksum(e)
     for rnd in range(max_iter):
         sc.setJobDescription(f"hsip:cc_round_{rnd}")
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _trunc(_small_star(_large_star(e)))
         cur = _checksum(e)
         sc.setJobDescription(None)
         if cur == prev:
@@ -90,9 +108,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     )
 
 
-def assign_clusters(all_ids: DataFrame, edges: DataFrame, id_col: str = "id") -> DataFrame:
+def assign_clusters(
+    all_ids: DataFrame, edges: DataFrame, id_col: str = "id",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """X2: full cluster table over every id; singletons -> own id."""
-    comp = connected_components(edges)
+    comp = connected_components(edges, checkpoint_dir=checkpoint_dir)
     ids = all_ids.select(F.col(id_col).alias("id")).distinct()
     return ids.join(comp, "id", "left").select(
         "id", F.coalesce("cluster_id", "id").alias("cluster_id")

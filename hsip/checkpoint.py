@@ -19,11 +19,14 @@ from .catalog import Catalog
 
 class Checkpointer:
     def __init__(self, catalog: Catalog, run_id: str, fingerprint: str,
-                 enabled: bool = True):
+                 enabled: bool = True, reuse: bool = True):
+        """``reuse=False`` (jobs run without --resume) recomputes every
+        stage, overwriting stale checkpoints for the run_id."""
         self.catalog = catalog
         self.run_id = run_id
         self.fingerprint = fingerprint
         self.enabled = enabled
+        self.reuse = reuse
         self.skipped: list[str] = []
         self.computed: list[str] = []
 
@@ -31,12 +34,16 @@ class Checkpointer:
         return f"ckpt.{self.run_id}.{stage}"
 
     def done(self, stage: str) -> bool:
+        if not self.reuse:
+            return False
         ident = self._ident(stage)
         if not self.catalog.exists(ident):
             return False
-        if self.catalog.iceberg_catalog:
-            return True  # fingerprint carried in table properties upstream
-        return self.catalog.manifest(ident)["meta"].get("fingerprint") == self.fingerprint
+        # fingerprint lives in the parquet manifest meta OR the Iceberg
+        # table properties (hsip.fingerprint) — Catalog.properties()
+        # normalizes both, so a config change invalidates the stage on
+        # the cluster path too (ADVICE.md r1)
+        return self.catalog.properties(ident).get("fingerprint") == self.fingerprint
 
     def materialize(self, stage: str, build: Callable[[], DataFrame]) -> DataFrame:
         """Return the stage output, recomputing only if not checkpointed."""

@@ -48,6 +48,10 @@ class DedupConfig:
     min_substr_len: int = 200       # chars; duplicates = common substring >= L
     winnow_window: int = 100        # winnowing window w; guarantee k_sa+w-1 <= L
     substr_bucket_cap: int = 64
+    # anchors kept per candidate pair for span verification — kept in
+    # deterministic sort_array order; pairs exceeding it are counted to
+    # metrics (no silent caps)
+    max_anchors_per_pair: int = 16
     # normalization (R3)
     lowercase: bool = True
     collapse_ws: bool = True
@@ -55,6 +59,11 @@ class DedupConfig:
     nfc: bool = False               # Unicode NFC (pandas UDF; off for oracle parity)
     # ops
     max_turns_per_conv: int = 10_000  # spill guard, logged when hit (§4.2.5)
+    # reliable CC lineage truncation: when set, connected-components rounds
+    # checkpoint to this fault-tolerant dir (survives executor loss) instead
+    # of localCheckpoint (bench-fast, executor-local). SURVEY §4.2.3.
+    # NON-SEMANTIC — excluded from the fingerprint (same clusters either way)
+    cc_checkpoint_dir: str | None = None
 
     @property
     def substr_gram(self) -> int:
@@ -63,8 +72,13 @@ class DedupConfig:
         fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003, thm 1)."""
         return self.min_substr_len - self.winnow_window + 1
 
+    _NON_SEMANTIC = frozenset({"cc_checkpoint_dir"})
+
     def fingerprint(self) -> str:
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        sem = {
+            k: v for k, v in asdict(self).items() if k not in self._NON_SEMANTIC
+        }
+        blob = json.dumps(sem, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
 

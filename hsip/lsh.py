@@ -125,8 +125,12 @@ def pairs_from_buckets(
 def lsh_candidates(sig_df: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
     """(id, sig) -> (candidate pairs, hot-bucket stats)."""
     bands = band_table(sig_df, cfg)
-    # co-locate bucket members before the self-join; AQE coalesces after
-    bands = bands.repartition("band_id", "band_hash")
+    # co-locate bucket members before the self-join; AQE coalesces after.
+    # cache + eager count honors the pairs_from_buckets contract (the
+    # sizes-groupBy and the join-back both scan `bands`; lazy cache + AQE
+    # would recompute the posexplode once per consumer — see memory note)
+    bands = bands.repartition("band_id", "band_hash").cache()
+    bands.count()
     return pairs_from_buckets(
         bands, cfg.bucket_cap, channel="minhash_lsh",
         hot_policy=cfg.hot_bucket_policy, salt_seed=cfg.seed,

@@ -34,7 +34,9 @@ def norm_text_col(col: str | Column, cfg: DedupConfig) -> Column:
     if cfg.lowercase:
         c = F.lower(c)
     if cfg.strip_punct:
-        c = F.regexp_replace(c, r"[^\w\s]", " ")
+        # (?U) = UNICODE_CHARACTER_CLASS: Java \w is ASCII-only by default,
+        # which would blank out all non-Latin text (ADVICE.md r1)
+        c = F.regexp_replace(c, r"(?U)[^\w\s]", " ")
     if cfg.collapse_ws:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return c

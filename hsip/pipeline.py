@@ -92,19 +92,25 @@ def run_documents(
     channels: tuple[str, ...] = ("minhash_lsh", "simhash", "substr"),
     warehouse: str | None = None,
     run_id: str | None = None,
-    resume: bool = False,
+    resume: bool = True,
 ) -> PipelineResult:
     """Dedup a flat (id, text) table into clusters.
 
     With ``warehouse`` set, every stage is checkpointed through the
     Catalog and the run is resumable under the same run_id + config
     fingerprint; without it, stages are cached in memory.
+    ``resume=False`` forces recomputation of every stage (checkpoints
+    are overwritten) even when matching ones exist for the run_id.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     fp = cfg.fingerprint()
     use_ckpt = warehouse is not None
     catalog = Catalog(spark, warehouse) if use_ckpt else None
-    ckpt = Checkpointer(catalog, run_id, fp, enabled=use_ckpt) if use_ckpt else None
+    ckpt = (
+        Checkpointer(catalog, run_id, fp, enabled=use_ckpt, reuse=resume)
+        if use_ckpt
+        else None
+    )
     rec = Recorder(spark, catalog, run_id) if use_ckpt else None
 
     def stage(name: str, build, reuse: bool = True):
@@ -182,6 +188,12 @@ def run_documents(
             pairs, hot = substr_candidates(fps, cfg)
             if rec:
                 rec.metric("substr_candidates", "hot_fingerprints_star_paired", hot.count())
+                rec.metric(
+                    "substr_candidates", "anchor_truncated_pairs",
+                    pairs.filter(
+                        F.col("n_anchors") > cfg.max_anchors_per_pair
+                    ).count(),
+                )
             return pairs
 
         sub_pairs = stage("substr_candidates", build_substr, reuse=False)
@@ -194,7 +206,11 @@ def run_documents(
 
     verified = stage("verified", lambda: V.combine_verified(*verified_parts))
     clusters = stage(
-        "clusters", lambda: assign_clusters(base, V.edges(verified), id_col="id")
+        "clusters",
+        lambda: assign_clusters(
+            base, V.edges(verified), id_col="id",
+            checkpoint_dir=cfg.cc_checkpoint_dir,
+        ),
     )
     reps = stage("representatives", lambda: canonical_representatives(clusters))
 
@@ -218,6 +234,7 @@ def run_transcripts(
     channels: tuple[str, ...] = ("minhash_lsh", "simhash", "substr"),
     warehouse: str | None = None,
     run_id: str | None = None,
+    resume: bool = True,
 ) -> PipelineResult:
     """Authoritative frontend: turn-level input (BASELINE.json:15 shape).
 
@@ -230,5 +247,5 @@ def run_transcripts(
     convs = reassemble(deduped).select("conv_id", "doc_text")
     return run_documents(
         spark, convs, "conv_id", "doc_text", cfg,
-        channels=channels, warehouse=warehouse, run_id=run_id,
+        channels=channels, warehouse=warehouse, run_id=run_id, resume=resume,
     )

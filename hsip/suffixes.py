@@ -236,10 +236,24 @@ def substr_candidates(
     )
 
     anchors = small_pairs.unionByName(hot_pairs)
-    pairs = anchors.groupBy("a", "b").agg(
-        F.slice(F.collect_list("pos_a"), 1, 8).alias("pos_as"),
-        F.slice(F.collect_list("pos_b"), 1, 8).alias("pos_bs"),
-    ).withColumn("channel", F.lit("substr"))
+    # anchors kept in DETERMINISTIC order: collect_list order varies run to
+    # run, so sort the (pos_a, pos_b) structs before slicing — a replayed
+    # task or re-run keeps the same anchors and the same verdicts
+    # (ADVICE.md r1). Pairs whose anchor count exceeds the cap carry
+    # n_anchors so the pipeline can log the truncation — no silent caps.
+    acap = cfg.max_anchors_per_pair
+    pairs = (
+        anchors.groupBy("a", "b")
+        .agg(F.sort_array(F.collect_list(F.struct("pos_a", "pos_b"))).alias("anc"))
+        .select(
+            "a",
+            "b",
+            F.size("anc").alias("n_anchors"),
+            F.transform(F.slice("anc", 1, acap), lambda x: x["pos_a"]).alias("pos_as"),
+            F.transform(F.slice("anc", 1, acap), lambda x: x["pos_b"]).alias("pos_bs"),
+        )
+        .withColumn("channel", F.lit("substr"))
+    )
     hot_stats = hot.groupBy("fp_hash").agg(F.max("bsz").alias("bucket_size"))
     return pairs, hot_stats
 

@@ -115,6 +115,7 @@ def featurize(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> Da
     """(id, text) -> (id, shingles, sig, simhash), one fused numpy pass."""
     k, seed, num_perm, variant = cfg.shingle_k, cfg.seed, cfg.num_perm, cfg.minhash_variant
     lowercase, collapse, nfc = cfg.lowercase, cfg.collapse_ws, cfg.nfc
+    strip_punct = cfg.strip_punct
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = _coeffs(num_perm, seed)
@@ -125,6 +126,10 @@ def featurize(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> Da
                 texts = texts.str.normalize("NFC")
             if lowercase:
                 texts = texts.str.lower()
+            if strip_punct:
+                # Python \w is Unicode-aware (matches the (?U) SQL path in
+                # normalize.py); replace with space, collapse handles runs
+                texts = texts.str.replace(r"[^\w\s]", " ", regex=True)
             if collapse:
                 texts = texts.str.replace(r"\s+", " ", regex=True).str.strip()
             sh_list, tok_list = [], []

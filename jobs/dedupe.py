@@ -41,6 +41,9 @@ def parse_args(argv):
     p.add_argument("--min-substr-len", type=int, default=200)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--master", default=None)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="fault-tolerant dir for reliable CC round "
+                        "checkpoints (default: executor-local, bench-fast)")
     return p.parse_args(argv)
 
 
@@ -61,6 +64,7 @@ def main(argv=None):
         jaccard_threshold=args.jaccard,
         min_substr_len=args.min_substr_len,
         seed=args.seed,
+        cc_checkpoint_dir=args.checkpoint_dir,
     )
 
     if args.iceberg_catalog:
@@ -73,6 +77,7 @@ def main(argv=None):
         channels=tuple(args.channels.split(",")),
         warehouse=args.warehouse,
         run_id=args.run_id,
+        resume=args.resume,
     )
 
     cat = Catalog(spark, args.warehouse, args.iceberg_catalog)

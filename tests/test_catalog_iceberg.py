@@ -1,0 +1,64 @@
+"""Iceberg dispatch (S2): the sandbox has no iceberg-spark-runtime jar,
+so the branch is pinned with a stub SparkSession — identifier shapes,
+append-vs-createOrReplace dispatch, fingerprint table properties, and
+checkpoint invalidation (VERDICT.md r1 missing #3 + ADVICE.md r1)."""
+
+from unittest import mock
+
+from hsip.catalog import Catalog
+from hsip.checkpoint import Checkpointer
+
+
+def _cat():
+    spark = mock.MagicMock()
+    return spark, Catalog(spark, "/ignored", iceberg_catalog="ice")
+
+
+def test_exists_read_drop_identifiers():
+    spark, cat = _cat()
+    spark.catalog.tableExists.return_value = True
+    assert cat.exists("ckpt.runA.features")
+    spark.catalog.tableExists.assert_called_with("ice.ckpt.runA.features")
+    cat.read("ckpt.runA.features")
+    spark.read.table.assert_called_with("ice.ckpt.runA.features")
+    cat.drop("out.runA.clusters")
+    spark.sql.assert_called_with("DROP TABLE IF EXISTS ice.out.runA.clusters")
+
+
+def test_write_dispatch_and_fingerprint_property():
+    spark, cat = _cat()
+    # fresh table: createOrReplace with hsip.* table properties from meta
+    spark.catalog.tableExists.return_value = False
+    df = mock.MagicMock()
+    cat.write(df, "ckpt.runA.features", meta={"fingerprint": "abc123"})
+    df.writeTo.assert_called_once_with("ice.ckpt.runA.features")
+    w = df.writeTo.return_value
+    w.tableProperty.assert_called_once_with("hsip.fingerprint", "abc123")
+    w.tableProperty.return_value.createOrReplace.assert_called_once()
+    # existing table + append mode: append(), no replace
+    spark.catalog.tableExists.return_value = True
+    df2 = mock.MagicMock()
+    cat.write(df2, "metrics", mode="append")
+    df2.writeTo.return_value.append.assert_called_once()
+    df2.writeTo.return_value.createOrReplace.assert_not_called()
+
+
+def _with_props(spark, props: dict):
+    spark.sql.return_value.collect.return_value = list(props.items())
+
+
+def test_properties_normalizes_hsip_prefix():
+    spark, cat = _cat()
+    _with_props(spark, {"hsip.fingerprint": "abc", "format-version": "2"})
+    assert cat.properties("ckpt.runA.features") == {"fingerprint": "abc"}
+
+
+def test_checkpoint_fingerprint_invalidates_on_iceberg():
+    spark, cat = _cat()
+    spark.catalog.tableExists.return_value = True
+    _with_props(spark, {"hsip.fingerprint": "abc"})
+    assert Checkpointer(cat, "runA", "abc").done("features")
+    # config change -> different fingerprint -> stage recomputed
+    assert not Checkpointer(cat, "runA", "OTHER").done("features")
+    # resume disabled -> never reuse, even on matching fingerprint
+    assert not Checkpointer(cat, "runA", "abc", reuse=False).done("features")

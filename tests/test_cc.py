@@ -79,3 +79,22 @@ def test_representatives(spark):
         for r in canonical_representatives(assign_clusters(ids, edges)).collect()
     }
     assert reps == {"a": ("a", 1), "b": ("b", 2)}
+
+
+def test_reliable_checkpoint_same_clusters(spark, tmp_path):
+    """cfg-selected reliable checkpoint() (fault-tolerant lineage cut for
+    real clusters) must produce identical components to localCheckpoint."""
+    from hsip.cc import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f"), ("g", "h"), ("h", "a")],
+        "a string, b string",
+    )
+    local = {(r.id, r.cluster_id) for r in connected_components(edges).collect()}
+    reliable = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    }
+    assert local == reliable

@@ -102,3 +102,25 @@ def test_config_change_invalidates_checkpoint(spark, corpus, tmp_path_factory):
         channels=("minhash_lsh",), warehouse=wh, run_id="runB",
     )
     assert not r2.stats["skipped_stages"]
+
+
+def test_resume_false_forces_recompute(spark, corpus, tmp_path_factory):
+    """--resume off: matching checkpoints exist but every stage recomputes."""
+    turns, _ = corpus
+    cfg = DedupConfig()
+    wh = str(tmp_path_factory.mktemp("warehouse3"))
+    docs = reassemble(dedupe_turn_versions(turns)).select("conv_id", "doc_text")
+    r1 = run_documents(
+        spark, docs, "conv_id", "doc_text", cfg,
+        channels=("minhash_lsh",), warehouse=wh, run_id="runC",
+    )
+    # collect BEFORE the forced recompute: resume=False overwrites the
+    # checkpoint files r1's lazy DataFrame reads from
+    first = {(r.id, r.cluster_id) for r in r1.clusters.collect()}
+    r2 = run_documents(
+        spark, docs, "conv_id", "doc_text", cfg,
+        channels=("minhash_lsh",), warehouse=wh, run_id="runC", resume=False,
+    )
+    assert not r2.stats["skipped_stages"]
+    assert r2.stats["computed_stages"]
+    assert first == {(r.id, r.cluster_id) for r in r2.clusters.collect()}

@@ -114,3 +114,26 @@ def test_sa_oracle_spans_are_genuine(texts, min_len):
         assert any(
             ta[i : i + l] and ta[i : i + l] in tb for i in range(len(ta) - l + 1)
         )
+
+
+def test_strip_punct_is_unicode_aware_and_fused(spark):
+    """strip_punct must survive non-Latin text on the SQL path ((?U)) and
+    actually apply in the fused kernel (ADVICE.md r1)."""
+    from hsip.config import DedupConfig
+    from hsip.normalize import norm_text_col
+    from hsip.textkernel import featurize
+
+    cfg = DedupConfig(strip_punct=True)
+    df = spark.createDataFrame([("Привет, мир! Ça va—bien",)], "text string")
+    out = df.select(norm_text_col("text", cfg).alias("n")).collect()[0].n
+    assert out == "привет мир ça va bien"
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "alpha beta, gamma delta epsilon zeta"),
+            ("b", "alpha beta gamma delta epsilon zeta!!"),
+        ],
+        "id string, text string",
+    )
+    sh = {r.id: tuple(r.shingles) for r in featurize(docs, "id", "text", cfg).collect()}
+    assert sh["a"] == sh["b"], "fused kernel ignored strip_punct"

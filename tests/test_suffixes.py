@@ -135,3 +135,34 @@ def test_hot_fingerprint_star_pairing(spark):
     kept = verified.filter("verdict")
     # star edges from x0 to everyone — one component despite the cap
     assert kept.count() >= 7
+
+
+def test_anchor_positions_deterministic(spark):
+    """Anchors kept per pair are sort_array-ordered: independent of
+    partitioning / collect_list arrival order (ADVICE.md r1), so replayed
+    tasks reach identical verdicts."""
+    from hsip.config import DedupConfig
+    from hsip.suffixes import fingerprint_table, substr_candidates
+
+    cfg = DedupConfig(min_substr_len=40, winnow_window=10)
+    span = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [
+            ("d1", "PREFIX one " + span + " SUFFIX one"),
+            ("d2", "totally different lead-in " + span + " other tail"),
+            ("d3", span),
+        ],
+        "id string, text string",
+    )
+    fps = fingerprint_table(docs, "id", "text", cfg).cache()
+    fps.count()
+
+    def anchors(nparts):
+        pairs, _ = substr_candidates(fps.repartition(nparts).cache(), cfg)
+        return {
+            (r.a, r.b): (list(r.pos_as), list(r.pos_bs), r.n_anchors)
+            for r in pairs.collect()
+        }
+
+    a, b = anchors(7), anchors(3)
+    assert a and a == b
