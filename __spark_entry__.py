@@ -449,6 +449,22 @@ def doc_fingerprints(spark, sf_dir):
     return docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fingerprint"))
 
 
+def doc_chunks(spark, sf_dir):
+    """Training-sample chunking (overlapping token windows) — the pure-SQL
+    scale path from hsip/chunking.py; the U6 Python-UDTF twin is tested
+    for equality in tests/test_chunking.py."""
+    from hsip.chunking import chunk_docs
+    from hsip.normalize import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_docs(
+        docs, "doc_id", tokens_col(_norm(F.col("text"))),
+        chunk_size=40, overlap=10,
+    ).select(
+        F.col("id").alias("doc_id"), "chunk_idx", "chunk_text", "n_chunk_tokens"
+    )
+
+
 def minhash_e2e_clusters(spark, sf_dir):
     """End-to-end MinHash -> LSH -> exact-Jaccard verify -> connected
     components, oracle-verifiable: with r=1 bands over num_perm=256
@@ -781,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "shingle_counts": shingle_counts,
         "minhash_e2e_clusters": minhash_e2e_clusters,
+        "doc_chunks": doc_chunks,
         # embeddings / similarity search
         "embedding_topk_neighbors": embedding_topk_neighbors,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -1047,6 +1064,34 @@ def oracle_sql() -> dict[str, str]:
                        )
                    )) ELSE 0 END AS BIGINT) AS n_shingles
             FROM t
+        """,
+        "doc_chunks": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split({norm_text}, ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, toks, len(toks) AS nt,
+                       CASE WHEN len(toks) = 0 THEN 0
+                            WHEN len(toks) <= 40 THEN 1
+                            ELSE CAST(ceil((len(toks) - 10) / 30.0) AS INT)
+                       END AS nc
+                FROM t
+            ),
+            e AS (
+                SELECT doc_id, toks,
+                       unnest(range(0, nc)) AS chunk_idx
+                FROM n
+            )
+            SELECT doc_id, chunk_idx,
+                   array_to_string(
+                       toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 40], ' '
+                   ) AS chunk_text,
+                   CAST(len(toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 40])
+                        AS INT) AS n_chunk_tokens
+            FROM e
         """,
         # brute-force Jaccard>=0.7 pair graph + recursive-CTE reachability
         # closure == the pipeline's LSH(r=1,cap-free)+verify+CC output.

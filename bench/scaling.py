@@ -1,12 +1,19 @@
 """N -> 4N scaling-efficiency protocol (BASELINE.md).
 
 The driver-prescribed sandbox evidence for the "scaling efficiency >= 0.8
-from N to 4N executors" criterion: the SAME job + input at local[8] and
-local[32] (two parallelism levels on the 32-core host), reporting
-throughput at both plus efficiency = (tput_32 / tput_8) / 4.
+from N to 4N executors" criterion: the SAME job + input at two
+parallelism levels on the 32-core host, reporting throughput at both
+plus efficiency = (tput_4N / tput_N) / 4. Two modes:
 
-Usage: python bench/scaling.py [--n-base 20000] [--runs 1]
-Writes/updates BENCH/BASELINE.md and prints one JSON line.
+  --mode threads    local[8] vs local[32] — one JVM, shared heap/GC.
+  --mode executors  local-cluster[2,4,mem] vs local-cluster[8,4,mem] —
+                    true multi-process executors with isolated heaps,
+                    the closest sandbox analogue of N -> 4N *executors*
+                    (the criterion's actual unit; VERDICT.md r1 item 2).
+
+Usage: python bench/scaling.py [--mode threads|executors] [--n-base 20000] [--runs 1]
+Writes BENCH/scaling_latest.json / BENCH/scaling_executors_latest.json
+and prints one JSON line; BENCH/BASELINE.md carries the curated analysis.
 """
 
 from __future__ import annotations
@@ -22,14 +29,23 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _RUNNER = r"""
-import sys, time, json
+import os, sys, time, json
 sys.path.insert(0, {repo!r})
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 from hsip.session import get_spark
 from hsip.config import DedupConfig
 import pyspark.sql.functions as F
 from hsip.pipeline import run_transcripts
 
-spark = get_spark(master={master!r})
+extra = {{}}
+if {master!r}.startswith("local-cluster["):
+    extra["spark.executor.memory"] = os.environ.get("HSIP_EXEC_MEM", "6g")
+spark = get_spark(master={master!r}, extra_conf=extra)
+if {master!r}.startswith("local-cluster["):
+    # multi-process executors don't share the driver's sys.path: ship the
+    # package exactly as spark-submit --py-files would (north_rule shape)
+    from tools.build_pyfiles import build
+    spark.sparkContext.addPyFile(build("/tmp/hsip_pyfiles.zip"))
 turns = spark.read.parquet({path!r})
 turns = turns.select("conv_id", F.col("turn_idx").cast("int"), "role",
                      "text", "tool", F.col("ts").cast("timestamp")).cache()
@@ -51,11 +67,43 @@ def run_once(master: str, path: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+_MODES = {
+    # mode -> (masterN, master4N, metric name, sidecar file)
+    "threads": (
+        "local[8]", "local[32]",
+        "scaling_efficiency_8_to_32_threads", "scaling_latest.json",
+    ),
+    "executors": (
+        "local-cluster[2,4,7168]", "local-cluster[8,4,7168]",
+        "scaling_efficiency_2_to_8_executors", "scaling_executors_latest.json",
+    ),
+    # 1 -> 4 executors of 2 cores: the N->4N *executor* measurement whose
+    # both levels fit inside this shared host's free cores (load avg of
+    # other tenants ~8-16 of 32) — the 8->32-core levels time-slice
+    # against co-tenants and measure the host, not the engine. See
+    # BENCH/BASELINE.md.
+    "executors1to4": (
+        "local-cluster[1,2,7168]", "local-cluster[4,2,7168]",
+        "scaling_efficiency_1_to_4_executors", "scaling_executors_1to4_latest.json",
+    ),
+    # 1-core executors, 1 -> 4: the only N->4N pair whose UPPER level
+    # still fits under this host's measured ~6k turns/s memory-bandwidth
+    # ceiling (local[8] == local[32] wall) — above it the host, not the
+    # engine, bounds the ratio. See BENCH/BASELINE.md.
+    "executors1c": (
+        "local-cluster[1,1,7168]", "local-cluster[4,1,7168]",
+        "scaling_efficiency_1c_1_to_4_executors", "scaling_executors_1c_latest.json",
+    ),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=sorted(_MODES), default="threads")
     ap.add_argument("--n-base", type=int, default=20000)
     ap.add_argument("--runs", type=int, default=1)
     args = ap.parse_args()
+    m_lo, m_hi, metric, sidecar = _MODES[args.mode]
 
     os.environ["HSIP_BENCH_NBASE"] = str(args.n_base)
     sys.path.insert(0, REPO)
@@ -67,10 +115,10 @@ def main():
     # is shared (load avg 6-10 from other tenants with zero processes of
     # ours running), so min-of-N is the least-interfered measurement
     results = {}
-    walls: dict[str, list] = {"local[8]": [], "local[32]": []}
+    walls: dict[str, list] = {m_lo: [], m_hi: []}
     turns = 0
     for _ in range(args.runs):
-        for master in ("local[8]", "local[32]"):
+        for master in (m_lo, m_hi):
             r = run_once(master, path)
             walls[master].append(r["wall_sec"])
             turns = r["turns"]
@@ -83,11 +131,11 @@ def main():
             "all_walls": [round(w, 1) for w in ws],
         }
 
-    t8 = results["local[8]"]["turns_per_sec"]
-    t32 = results["local[32]"]["turns_per_sec"]
-    eff = round((t32 / t8) / 4, 3)
+    t_lo = results[m_lo]["turns_per_sec"]
+    t_hi = results[m_hi]["turns_per_sec"]
+    eff = round((t_hi / t_lo) / 4, 3)
     summary = {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": metric,
         "value": eff,
         "unit": "ratio",
         "levels": results,
@@ -97,7 +145,7 @@ def main():
     # raw results land in a sidecar; BENCH/BASELINE.md carries the curated
     # analysis (saturation curve, event-log evidence) and is hand-edited
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", sidecar), "w") as f:
         json.dump(summary, f, indent=2)
 
 

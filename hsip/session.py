@@ -26,6 +26,12 @@ def get_spark(
         cores = os.cpu_count() or 8
         if master.startswith("local[") and master[6:-1].isdigit():
             cores = int(master[6:-1])
+        elif master.startswith("local-cluster["):
+            # local-cluster[nWorkers,coresPerWorker,memMB] — total cores,
+            # so the N vs 4N executor runs get proportional partitioning
+            # exactly like a real cluster would
+            n, c = master[len("local-cluster["):-1].split(",")[:2]
+            cores = int(n) * int(c)
         shuffle_partitions = max(8, 2 * cores)
 
     builder = (
@@ -41,6 +47,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("HSIP_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Don't hold task slots hostage to cache locality: the pipeline is
+        # many short shuffle stages over cached frames, and the 3s default
+        # locality wait leaves executors idle for whole task waves
+        # (event-log measured: ~8 stages x 6-10s wall at ~0.2s max task
+        # time on local-cluster[4,1]). Remote reads beat idle cores on any
+        # modern interconnect; override via extra_conf if a deployment's
+        # network says otherwise.
+        .config("spark.locality.wait", "0s")
     )
     if extra_conf:
         for k, v in extra_conf.items():

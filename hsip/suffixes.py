@@ -293,14 +293,29 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
     verdict = (max span over anchors) >= min_substr_len.
     """
     k, min_len = cfg.substr_gram, cfg.min_substr_len
-    normed = docs.select(
-        F.col(id_col).cast("string").alias("id"),
-        norm_text_col(text_col, cfg).alias("t"),
+    # The normalized-text table is the fattest thing this stage touches
+    # (~= corpus bytes). A computed Alias (norm_text_col) breaks canonical
+    # exchange reuse between the two join branches, so without help Spark
+    # ships the WHOLE corpus through the shuffle twice (event-log measured
+    # 2 x 478 MB on the 554k-turn bench). Hash-partitioning by id once and
+    # caching the post-shuffle layout lets both joins consume the cached
+    # partitioning — one fat exchange total. Eager count: lazy cache + AQE
+    # would recompute the subtree per concurrent consumer (memory note).
+    normed = (
+        docs.select(
+            F.col(id_col).cast("string").alias("id"),
+            norm_text_col(text_col, cfg).alias("t"),
+        )
+        .repartition("id")
+        .cache()
     )
+    normed.count()
     h = (
-        pairs.join(normed.select(F.col("id").alias("a"), F.col("t").alias("t_a")), "a")
-        .join(normed.select(F.col("id").alias("b"), F.col("t").alias("t_b")), "b")
+        pairs.join(normed, pairs["a"] == normed["id"]).drop("id")
+        .withColumnRenamed("t", "t_a")
     )
+    nb = normed.alias("nb")
+    h = h.join(nb, h["b"] == nb["id"]).drop("id").withColumnRenamed("t", "t_b")
 
     @pandas_udf(T.IntegerType())
     def span_len(ta: pd.Series, tb: pd.Series, pas: pd.Series, pbs: pd.Series) -> pd.Series:
