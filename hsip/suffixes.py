@@ -294,18 +294,30 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
     """
     k, min_len = cfg.substr_gram, cfg.min_substr_len
     # The normalized-text table is the fattest thing this stage touches
-    # (~= corpus bytes). A computed Alias (norm_text_col) breaks canonical
-    # exchange reuse between the two join branches, so without help Spark
-    # ships the WHOLE corpus through the shuffle twice (event-log measured
-    # 2 x 478 MB on the 554k-turn bench). Hash-partitioning by id once and
-    # caching the post-shuffle layout lets both joins consume the cached
-    # partitioning — one fat exchange total. Eager count: lazy cache + AQE
-    # would recompute the subtree per concurrent consumer (memory note).
+    # (~= corpus bytes), and a computed Alias (norm_text_col) breaks
+    # canonical exchange reuse between the two join branches — naively
+    # Spark ships the WHOLE corpus through the shuffle twice (event-log
+    # measured 2 x 478 MB on the 554k-turn bench). Two fixes compose:
+    #   1. only docs that actually appear in a candidate pair need text —
+    #      a semi-join prunes the table to the candidate-touched subset
+    #      (bounds cache/shuffle by candidates, not corpus; a 6g 1-core
+    #      executor OOM'd at 2.76M turns caching the full corpus);
+    #   2. hash-partition by id once and cache the post-shuffle layout so
+    #      both joins consume the cached partitioning — one pruned
+    #      exchange total. Eager count: lazy cache + AQE recomputes the
+    #      subtree per concurrent consumer (memory note).
+    pairs = pairs.cache()
+    pair_ids = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
     normed = (
         docs.select(
             F.col(id_col).cast("string").alias("id"),
             norm_text_col(text_col, cfg).alias("t"),
         )
+        .join(pair_ids, "id", "left_semi")
         .repartition("id")
         .cache()
     )
