@@ -651,11 +651,17 @@ def _lang_id_oracle_sql() -> str:
 
 
 def ann_rhp_lsh_topk(spark, sf_dir):
-    """Approximate nearest neighbors: random-hyperplane LSH + re-rank."""
+    """Approximate nearest neighbors: random-hyperplane LSH + re-rank.
+
+    An in-memory Recorder rides along so hot-bucket truncation counts are
+    computed AND observable in the exercised path (no silent caps), not
+    just when a warehouse catalog is attached."""
+    from hsip.metrics import Recorder
     from hsip.similarity import rhp_lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return rhp_lsh_topk(emb, k=3, dim=64, band_bits=4, seed=7)
+    rec = Recorder(spark, catalog=None, run_id="contract-ann")
+    return rhp_lsh_topk(emb, k=3, dim=64, band_bits=4, seed=7, recorder=rec)
 
 
 def image_feature_extraction(spark, sf_dir):

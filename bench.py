@@ -28,6 +28,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_BASE = int(os.environ.get("HSIP_BENCH_NBASE", "2000"))
+BENCH_RUNS = int(os.environ.get("HSIP_BENCH_RUNS", "2"))
 
 
 def _transcripts_path() -> str:
@@ -54,12 +55,28 @@ def run(spark, sf_dir: str) -> dict:
 
     tpath = _transcripts_path()
     timings: dict[str, float] = {}
+    raw_walls: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, prep=None, runs=BENCH_RUNS):
+        """Best-of-N wall per query: the sandbox host is shared (co-tenant
+        load avg 6-16), so a single run can't attribute ±0.5 s deltas —
+        min-of-N is the least-interfered measurement (same protocol as
+        bench/scaling.py). clearCache between runs keeps each run a REAL
+        run (identical re-built plans would otherwise serve run 2 from
+        run 1's CacheManager entries); ``prep`` re-establishes any input
+        cache that's deliberately excluded from the metric."""
+        out = None
+        walls = []
+        for _ in range(max(1, runs)):
+            spark.catalog.clearCache()
+            if prep is not None:
+                prep()
+            t0 = time.time()
+            out = fn()
+            walls.append(round(time.time() - t0, 3))
+        timings[name] = min(walls)
+        raw_walls[name] = walls
         return out
 
     # 1. document 3-channel dedup (the flagship at bench scale)
@@ -75,10 +92,11 @@ def run(spark, sf_dir: str) -> dict:
 
     # 2. transcript pipeline (turns/sec is the headline unit, BASELINE.json:2)
     turns = spark.read.schema(schemas.TRANSCRIPTS).parquet(tpath)
-    turns = turns.cache()
     n_turns = turns.count()
     tres = timed(
-        "transcript_dedup", lambda: run_transcripts(spark, turns, DedupConfig())
+        "transcript_dedup",
+        lambda: run_transcripts(spark, turns, DedupConfig()),
+        prep=lambda: turns.cache().count(),  # input IO excluded from metric
     )
     extras["transcript_turns"] = n_turns
     extras["transcript_turns_per_sec"] = round(n_turns / timings["transcript_dedup"], 1)
@@ -104,6 +122,8 @@ def run(spark, sf_dir: str) -> dict:
         "queries": timings,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "extras": extras,
+        "raw_walls": raw_walls,
+        "bench_runs_per_query": BENCH_RUNS,
         "cpus": CPUS,
     }
 

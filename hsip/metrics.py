@@ -20,7 +20,11 @@ from .catalog import Catalog
 
 
 class Recorder:
-    def __init__(self, spark: SparkSession, catalog: Catalog, run_id: str):
+    def __init__(self, spark: SparkSession, catalog: Catalog | None, run_id: str):
+        """``catalog=None`` keeps metrics in memory (no warehouse): callers
+        without a persistent catalog — contract queries, tests — still get
+        truncation accounting instead of dropping it ("no silent caps");
+        read them back via ``recorded()``."""
         self.spark = spark
         self.catalog = catalog
         self.run_id = run_id
@@ -31,8 +35,14 @@ class Recorder:
             (self.run_id, stage, key, float(value), datetime.now(timezone.utc))
         )
 
+    def recorded(self) -> dict[tuple[str, str], float]:
+        """Unflushed metrics as {(stage, key): value} — in-memory view."""
+        return {(s, k): v for (_rid, s, k, v, _ts) in self._metric_rows}
+
     def lineage(self, stage: str, df: DataFrame, fingerprint: str) -> None:
         """Per-partition output-row accounting for ``df`` (one action)."""
+        if self.catalog is None:
+            return
         rows = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"))
@@ -48,7 +58,7 @@ class Recorder:
         self.catalog.write(rows, "lineage", mode="append")
 
     def flush(self) -> None:
-        if not self._metric_rows:
+        if not self._metric_rows or self.catalog is None:
             return
         df = self.spark.createDataFrame(self._metric_rows, schema=schemas.METRICS)
         self.catalog.write(df, "metrics", mode="append")

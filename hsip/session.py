@@ -47,15 +47,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("HSIP_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    if master.startswith(("local", "local-cluster")):
         # Don't hold task slots hostage to cache locality: the pipeline is
         # many short shuffle stages over cached frames, and the 3s default
         # locality wait leaves executors idle for whole task waves
         # (event-log measured: ~8 stages x 6-10s wall at ~0.2s max task
-        # time on local-cluster[4,1]). Remote reads beat idle cores on any
-        # modern interconnect; override via extra_conf if a deployment's
-        # network says otherwise.
-        .config("spark.locality.wait", "0s")
-    )
+        # time on local-cluster[4,1]). On local masters "remote" reads are
+        # loopback, so this is pure win; on REAL clusters (YARN/K8s over
+        # HDFS) node-local scheduling matters, so the default is kept
+        # there — set spark.locality.wait via extra_conf to tune it.
+        builder = builder.config("spark.locality.wait", "0s")
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -134,7 +134,17 @@ def hamming_block_table(simhash_df: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def simhash_candidates(simhash_df: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
-    blocks = hamming_block_table(simhash_df, cfg).repartition("table_id", "key_hash")
+    # cache + eager count honors the pairs_from_buckets contract (the
+    # sizes-groupBy and the join-back both scan the block table, which is
+    # C(B, B-d) rows per doc — 56x at B=8,d=3 — so recomputing the
+    # posexplode+repartition per consumer doubles the channel's dominant
+    # exchange; mirrors hsip/lsh.py lsh_candidates)
+    blocks = (
+        hamming_block_table(simhash_df, cfg)
+        .repartition("table_id", "key_hash")
+        .cache()
+    )
+    blocks.count()
     return pairs_from_buckets(
         blocks,
         cfg.bucket_cap,

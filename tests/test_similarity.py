@@ -83,3 +83,20 @@ def test_rhp_lsh_hot_bucket_not_dropped(spark):
     ).collect()
     assert len(out) == 40, "hot-bucket queries were silently dropped"
     assert rec.rows and rec.rows[0][0] == "rhp_lsh_topk" and rec.rows[0][2] > 0
+
+
+def test_memory_recorder_captures_ann_hot_metric(spark):
+    """The catalog-less Recorder the ANN contract query rides
+    (__spark_entry__.ann_rhp_lsh_topk): hot-bucket truncations must be
+    observable via recorded() even with no warehouse attached."""
+    from hsip.metrics import Recorder
+
+    rows = [(i, [1.0] * 8) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rec = Recorder(spark, catalog=None, run_id="t")
+    rhp_lsh_topk(
+        emb, k=1, dim=8, band_bits=4, seed=7, bucket_cap=8, recorder=rec
+    ).count()
+    got = rec.recorded()
+    assert got.get(("rhp_lsh_topk", "hot_buckets"), 0) > 0
+    rec.flush()  # no catalog: must be a no-op, not a crash
