@@ -82,13 +82,26 @@ class Catalog:
 
     # -- write (atomic) --------------------------------------------------
     def write(self, df: DataFrame, ident: str, mode: str = "overwrite",
-              meta: dict | None = None) -> None:
+              meta: dict | None = None,
+              partition_by: list[str] | None = None) -> None:
+        """``partition_by`` lays the table out hive-partitioned on those
+        columns (Iceberg: identity partition transform at create; parquet
+        fallback: writer partitionBy). Readers filtering on a partition
+        column then prune to matching directories/manifests instead of
+        scanning every file footer — the streaming index tables use this
+        with batch_id so per-micro-batch replay guards stay O(one batch)
+        as the index grows (VERDICT.md r2 item 6)."""
         if self.iceberg_catalog:
             full = f"{self.iceberg_catalog}.{ident}"
             if mode == "append" and self.exists(ident):
+                # appends inherit the table's partition spec
                 df.writeTo(full).append()
             else:
                 w = df.writeTo(full)
+                if partition_by:
+                    from pyspark.sql import functions as F
+
+                    w = w.partitionedBy(*[F.col(c) for c in partition_by])
                 for k, v in (meta or {}).items():
                     # carried as Iceberg table properties so checkpoint
                     # fingerprints survive on the cluster path too
@@ -96,28 +109,49 @@ class Catalog:
                 w.createOrReplace()
             return
         base = self._path(ident)
+        if partition_by and df.isEmpty():
+            # a hive-partitioned write of zero rows yields no schema-bearing
+            # files (unreadable dir); appending nothing is a no-op and the
+            # table is created on the first non-empty write instead (the
+            # Iceberg path keeps schema in metadata, so only parquet skips)
+            return
         tmp = f"{base}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(tmp, "data"))
         man = {
             "ident": ident,
             "snapshot_id": uuid.uuid4().hex,
             "committed_at": time.time(),
             "meta": meta or {},
         }
+        if partition_by:
+            man["partition_by"] = partition_by
         if mode == "append" and os.path.exists(base):
             # append = move the new part files into the live data dir with
             # unique names, then swap the manifest — O(new data), never a
             # rewrite of the table (Iceberg does this natively via
-            # snapshot metadata; this emulates it at file granularity)
+            # snapshot metadata; this emulates it at file granularity).
+            # os.walk handles hive-partitioned layouts: part files live in
+            # nested key=value dirs that are created in the live tree as
+            # needed, so appending a new batch_id adds one directory.
             data_dir = os.path.join(base, "data")
+            tmp_data = os.path.join(tmp, "data")
             stamp = uuid.uuid4().hex[:8]
-            for i, fn in enumerate(sorted(os.listdir(os.path.join(tmp, "data")))):
-                if not fn.endswith(".parquet"):
-                    continue
-                os.rename(
-                    os.path.join(tmp, "data", fn),
-                    os.path.join(data_dir, f"append-{stamp}-{i:05d}.parquet"),
-                )
+            i = 0
+            for root, _dirs, files in os.walk(tmp_data):
+                rel = os.path.relpath(root, tmp_data)
+                dest = data_dir if rel == "." else os.path.join(data_dir, rel)
+                for fn in sorted(files):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    os.makedirs(dest, exist_ok=True)
+                    os.rename(
+                        os.path.join(root, fn),
+                        os.path.join(dest, f"append-{stamp}-{i:05d}.parquet"),
+                    )
+                    i += 1
             man_tmp = os.path.join(base, f"_MANIFEST.json.tmp-{stamp}")
             with open(man_tmp, "w") as f:
                 json.dump(man, f)

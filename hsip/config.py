@@ -52,6 +52,19 @@ class DedupConfig:
     # deterministic sort_array order; pairs exceeding it are counted to
     # metrics (no silent caps)
     max_anchors_per_pair: int = 16
+    # incremental delta-vs-index: a delta doc hitting an over-cap index
+    # bucket pairs with the bucket MIN plus ~this many deterministically
+    # sampled members (pmod(xxhash64(id), bsz/k) == 0), so one failed
+    # verify against the min doesn't cost every match in the bucket;
+    # still O(k * |delta|) edges, truncation logged
+    hot_anchor_sample_k: int = 3
+    # exact_substr_within_groups: groups whose summed normalized-text bytes
+    # exceed this budget are sub-bucketed by doc-id hash so no single
+    # applyInPandas task concatenates gigabytes; cross-sub-bucket spans in
+    # an oversized group are NOT extracted here (recall still comes from
+    # the fingerprint channel) and every split group is surfaced via the
+    # returned stats / recorder — no silent caps (§4.2.1)
+    substr_group_byte_budget: int = 256 * 1024 * 1024
     # normalization (R3)
     lowercase: bool = True
     collapse_ws: bool = True

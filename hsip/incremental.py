@@ -87,12 +87,26 @@ def incremental_candidates(
             F.greatest("n.id", "o.id").alias("b"),
         )
 
-    # small buckets: every matching index member; hot buckets: star — the
-    # delta doc pairs with the bucket's MIN index id only (O(|D|) edges;
-    # connectivity to the rest of the hot bucket already exists in the
-    # corpus cluster table), truncation logged via hot_stats
+    # small buckets: every matching index member. Hot buckets: the delta
+    # doc pairs with the bucket MIN plus ~k deterministically-sampled
+    # members — a logged recall tradeoff mirroring the batch star policy,
+    # NOT a guarantee (star edges are candidates; a failed verify against
+    # one anchor would otherwise cost every match in that bucket —
+    # ADVICE.md r2). Expected O((k+1) * |delta|) edges; the sample is
+    # seed-deterministic (pmod of xxhash64) so reruns/resumes agree.
+    k_anchor = max(1, cfg.hot_anchor_sample_k)
     hot_min = hot.groupBy(*_BKEYS).agg(F.min("id").alias("id"))
-    no = _new_x(small).unionByName(_new_x(hot_min))
+    hot_sampled = hot.filter(
+        F.pmod(
+            F.xxhash64("id", F.lit(cfg.seed)),
+            F.greatest(F.ceil(F.col("bsz") / k_anchor), F.lit(1)),
+        )
+        == 0
+    ).select(*_BKEYS, "id")
+    hot_anchors = hot_min.unionByName(hot_sampled).dropDuplicates(
+        [*_BKEYS, "id"]
+    )
+    no = _new_x(small).unionByName(_new_x(hot_anchors))
 
     idx_hot_stats = hot.groupBy(*_BKEYS).agg(F.max("bsz").alias("bucket_size"))
     hot_stats = nn_hot.unionByName(idx_hot_stats)
@@ -131,7 +145,12 @@ def incremental_verified_pairs(
         recorder.metric(
             "incremental_candidates", "hot_buckets_star_paired", hot_stats.count()
         )
+    # delta features WIN on id overlap (an id in both sides is an updated
+    # conversation): anti-join the index side instead of an arbitrary
+    # dropDuplicates pick, so verification is deterministic (ADVICE.md r2)
     all_shingles = new_feats.select("id", "shingles").unionByName(
-        index_features.select("id", "shingles")
-    ).dropDuplicates(["id"])
+        index_features.select("id", "shingles").join(
+            new_feats.select("id"), "id", "left_anti"
+        )
+    )
     return V.verify_jaccard(pairs, all_shingles, cfg)

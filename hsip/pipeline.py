@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from . import verify as V
 from .catalog import Catalog
 from .cc import assign_clusters, canonical_representatives
-from .checkpoint import Checkpointer
+from .checkpoint import Checkpointer, input_fingerprint
 from .config import DedupConfig
 from .lsh import lsh_candidates
 from .metrics import Recorder, StageTimer
@@ -103,9 +103,24 @@ def run_documents(
     are overwritten) even when matching ones exist for the run_id.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
-    fp = cfg.fingerprint()
     use_ckpt = warehouse is not None
     catalog = Catalog(spark, warehouse) if use_ckpt else None
+
+    # always cache base: >1 channel consumes it, and in checkpointed mode
+    # the input fingerprint below is an extra consumer
+    base = _reused(
+        docs.select(
+            F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+        ),
+        reuse=True,
+    )
+
+    # stage fingerprint = config + INPUT content: resuming the same run_id
+    # over changed data must recompute, not serve stale checkpoints
+    # (ADVICE.md r2). The input hash is one aggregate over the cached base.
+    fp = cfg.fingerprint()
+    if use_ckpt:
+        fp = f"{fp}-{input_fingerprint(base)}"
     ckpt = (
         Checkpointer(catalog, run_id, fp, enabled=use_ckpt, reuse=resume)
         if use_ckpt
@@ -120,13 +135,6 @@ def run_documents(
             rec.lineage(name, out, fp)
             return out
         return _reused(build(), reuse, name)
-
-    base = _reused(
-        docs.select(
-            F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
-        ),
-        reuse=len(channels) > 1 or not use_ckpt,
-    )
 
     stats: dict = {}
     verified_parts: list[DataFrame] = []

@@ -12,11 +12,26 @@ carries ``batch_id`` and three guards make replays true no-ops
 (ADVICE.md r1): (1) a ``stream.batches`` marker table, appended LAST —
 a replayed batch whose marker exists is skipped outright; (2) if the
 marker is missing but a previous attempt died mid-way, each append
-anti-joins against rows already present for this batch_id, so partial
-writes are completed, not duplicated; (3) the streaming checkpoint
-itself replays at most the last unfinished batch. On an Iceberg
-deployment guard (2) becomes a MERGE / DELETE WHERE batch_id=N +
-append inside one snapshot commit.
+anti-joins against rows already present, so partial writes are
+completed, not duplicated; (3) the streaming checkpoint itself replays
+at most the last unfinished batch. On an Iceberg deployment guard (2)
+becomes a MERGE / DELETE WHERE batch_id=N + append inside one snapshot
+commit.
+
+Scale + re-arrival semantics (VERDICT.md r2 item 6, ADVICE.md r2):
+  - index/verified tables are written hive-partitioned by ``batch_id``,
+    so every replay-guard read prunes to ONE partition instead of
+    scanning all table footers as the index grows (the Iceberg path
+    gets the same via an identity partition transform).
+  - a conv_id re-arriving in a LATER batch (updated conversation)
+    legitimately appends a new feature/band version; readers resolve
+    each id to its LATEST (stream_id, batch_id) version via
+    ``latest_index_versions`` — the append-only analogue of an Iceberg
+    MERGE upsert — so verification is deterministic, never an arbitrary
+    dropDuplicates pick.
+  - ``stream.verified`` dedups pairs across the WHOLE stream (anti-join
+    on (a, b) over all batches), so a pair re-derived after an update
+    does not inflate pair-level reporting.
 
 Also provides a watermarked windowed aggregation (turn-rate metrics)
 demonstrating late-data handling for the metrics side.
@@ -61,6 +76,25 @@ def turn_rate_metrics(turns_stream: DataFrame, window: str = "10 minutes",
     )
 
 
+def latest_index_versions(idx: DataFrame, keys: list[str]) -> DataFrame:
+    """Resolve each key to its newest appended version.
+
+    Append-only index tables accumulate one row-version per (stream,
+    batch) a key re-arrives in; the current version is the one with the
+    max (batch_id, stream_id) — groupBy + join-back (map-side combine,
+    skew-safe), never a window sort. This is the parquet-append analogue
+    of reading an Iceberg table maintained by MERGE upserts.
+    """
+    latest = idx.groupBy(*keys).agg(
+        F.max(F.struct("batch_id", "stream_id")).alias("_v")
+    ).select(
+        *keys,
+        F.col("_v.batch_id").alias("batch_id"),
+        F.col("_v.stream_id").alias("stream_id"),
+    )
+    return idx.join(latest, [*keys, "batch_id", "stream_id"])
+
+
 def run_incremental_ingest(
     spark: SparkSession,
     input_dir: str,
@@ -81,20 +115,29 @@ def run_incremental_ingest(
     # so replay bookkeeping is keyed (stream_id, batch_id)
     stream_id = checkpoint_dir
 
-    def _append_once(df: DataFrame, ident: str, keys: list[str], batch_id: int) -> None:
-        """Idempotent append: skip rows this (stream, batch) already
-        committed (replay-after-partial-failure guard; no-op otherwise)."""
+    def _append_once(df: DataFrame, ident: str, keys: list[str], batch_id: int,
+                     scope: str = "batch") -> None:
+        """Idempotent append: skip rows already committed.
+
+        scope="batch"  — anti-join prior rows of THIS (stream, batch)
+                         only: completes a partial write after a failed
+                         attempt without duplicating it, while allowing a
+                         re-arriving key in a later batch to append a new
+                         VERSION (readers resolve latest; see
+                         latest_index_versions).
+        scope="stream" — anti-join prior rows of the whole stream on the
+                         keys: first occurrence wins across batches (used
+                         for stream.verified, where a re-derived pair is
+                         a duplicate, not a version).
+        The batch_id partition filter prunes the read to one partition
+        directory (or Iceberg manifest) — O(one batch), not O(index).
+        """
         if catalog.exists(ident):
-            prior = (
-                catalog.read(ident)
-                .filter(
-                    (F.col("batch_id") == batch_id)
-                    & (F.col("stream_id") == stream_id)
-                )
-                .select(keys)
-            )
-            df = df.join(prior, keys, "left_anti")
-        catalog.write(df, ident, mode="append")
+            prior = catalog.read(ident).filter(F.col("stream_id") == stream_id)
+            if scope == "batch":
+                prior = prior.filter(F.col("batch_id") == batch_id)
+            df = df.join(prior.select(keys), keys, "left_anti")
+        catalog.write(df, ident, mode="append", partition_by=["batch_id"])
 
     def process_batch(batch_turns: DataFrame, batch_id: int) -> None:
         if batch_turns.isEmpty():
@@ -121,8 +164,10 @@ def run_incremental_ingest(
         new_bands = band_table(new_feats.select("id", "sig"), cfg).cache()
         new_bands.count()
         if catalog.exists("index.features"):
-            idx_feats = catalog.read("index.features")
-            idx_bands = catalog.read("index.bands")
+            # resolve re-arrived conv_ids to their latest feature/band
+            # version — deterministic, not an arbitrary dropDuplicates
+            idx_feats = latest_index_versions(catalog.read("index.features"), ["id"])
+            idx_bands = latest_index_versions(catalog.read("index.bands"), ["id"])
         else:
             idx_feats = spark.createDataFrame([], new_feats.schema)
             idx_bands = spark.createDataFrame([], new_bands.schema)
@@ -134,7 +179,10 @@ def run_incremental_ingest(
         )
         bid = F.lit(batch_id).alias("batch_id")
         sid = F.lit(stream_id).alias("stream_id")
-        _append_once(verified.filter("verdict"), "stream.verified", ["a", "b"], batch_id)
+        _append_once(
+            verified.filter("verdict"), "stream.verified", ["a", "b"], batch_id,
+            scope="stream",  # a re-derived pair is a duplicate, not a version
+        )
         _append_once(
             new_feats.select("*", bid, sid), "index.features", ["id"], batch_id
         )

@@ -353,7 +353,8 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
 
 
 def exact_substr_within_groups(
-    docs: DataFrame, id_col: str, text_col: str, group_col: str, cfg: DedupConfig
+    docs: DataFrame, id_col: str, text_col: str, group_col: str, cfg: DedupConfig,
+    recorder=None,
 ) -> DataFrame:
     """Corpus-level duplicate-span EXTRACTION per group (Lee et al. ACL'22
     use-case) via a grouped-map suffix array: applyInPandas builds a
@@ -361,8 +362,19 @@ def exact_substr_within_groups(
     span >= L. Candidate *generation* across groups still comes from the
     winnowed fingerprint channel, so this is an exact per-group extractor
     (group by e.g. lang/source/bucketed prefix), not the recall path.
+
+    Giant-group guard: a group is ONE applyInPandas task, so grouping by
+    e.g. lang at corpus scale would concatenate gigabytes into one Python
+    worker. Groups whose summed normalized bytes exceed
+    ``cfg.substr_group_byte_budget`` are sub-bucketed by doc-id hash
+    (pmod(xxhash64(id), ceil(bytes/budget))); spans are then exact within
+    each sub-bucket. Cross-sub-bucket spans of oversized groups are not
+    extracted here — the fingerprint channel remains the recall path —
+    and every split group reaches ``recorder`` (and the pipeline metrics
+    table) as a truncation event: no silent caps.
     """
     min_len = cfg.min_substr_len
+    budget = cfg.substr_group_byte_budget
     out_schema = T.StructType(
         [
             T.StructField("a", T.StringType(), False),
@@ -381,7 +393,34 @@ def exact_substr_within_groups(
         F.col(id_col).cast("string").alias("_id"),
         norm_text_col(text_col, cfg).alias("_norm"),
     )
-    return normed.groupBy("_grp").applyInPandas(run, schema=out_schema)
+    # per-group byte sizes via groupBy (map-side combine) + join-back —
+    # same skew-safe shape as pairs_from_buckets, never a window
+    sizes = normed.groupBy("_grp").agg(
+        F.sum(F.octet_length("_norm")).alias("_bytes")
+    )
+    n_split = F.greatest(F.ceil(F.col("_bytes") / budget), F.lit(1))
+    tagged = normed.join(sizes, "_grp").withColumn(
+        "_sub",
+        F.when(
+            F.col("_bytes") > budget,
+            F.pmod(F.xxhash64("_id", F.lit(cfg.seed)), n_split),
+        ).otherwise(F.lit(0)),
+    )
+    if recorder is not None:
+        over = sizes.filter(F.col("_bytes") > budget)
+        recorder.metric(
+            "exact_substr_within_groups", "groups_sub_bucketed", over.count()
+        )
+        recorder.metric(
+            "exact_substr_within_groups",
+            "max_group_bytes",
+            (over.agg(F.max("_bytes")).first()[0] or 0),
+        )
+    return (
+        tagged.drop("_bytes")
+        .groupBy("_grp", "_sub")
+        .applyInPandas(run, schema=out_schema)
+    )
 
 
 # ----------------------------------------------------------------------

@@ -61,8 +61,10 @@ def test_incremental_matches(spark, corpus):
 
 def test_incremental_hot_index_bucket(spark):
     """Over-cap index buckets must not be silently dropped NOR sorted in
-    a single-task window: the delta doc star-pairs with the bucket's min
-    index id and the truncation is surfaced (VERDICT.md r1 finding 3)."""
+    a single-task window: the delta doc pairs with the bucket MIN plus a
+    bounded deterministic member sample (one failed verify against the
+    min must not cost every match in the bucket — ADVICE.md r2), and the
+    truncation is surfaced (VERDICT.md r1 finding 3)."""
     from hsip.incremental import incremental_candidates
     from hsip.lsh import band_table
     from hsip.textkernel import featurize
@@ -81,8 +83,14 @@ def test_incremental_hot_index_bucket(spark):
 
     pairs, hot_stats = incremental_candidates(new_feats, idx_bands, cfg)
     got = {(r.a, r.b) for r in pairs.collect()}
-    assert got == {("new001", "old00")}, got  # star vs index bucket min
+    assert ("new001", "old00") in got, got    # bucket min always anchored
+    assert all(a == "new001" for a, _ in got)  # only delta-touching pairs
+    # bounded: min + ~k sampled anchors, never the whole 12-member bucket
+    assert 1 <= len(got) <= 1 + 2 * cfg.hot_anchor_sample_k, got
     assert hot_stats.count() > 0              # truncation is logged
+    # deterministic: same seed -> same anchors on a rebuilt plan
+    pairs2, _ = incremental_candidates(new_feats, idx_bands, cfg)
+    assert {(r.a, r.b) for r in pairs2.collect()} == got
     # skew guard: no single-partition Window sort anywhere in the plan
     plan = pairs._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan, "per-bucket window cap reintroduced"

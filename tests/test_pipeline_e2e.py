@@ -4,6 +4,7 @@ partitioning invariance, resume-from-checkpoint."""
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from hsip.config import DedupConfig
 from hsip.fixtures.gen import gen_transcripts, to_spark, truth_pairs
@@ -102,6 +103,29 @@ def test_config_change_invalidates_checkpoint(spark, corpus, tmp_path_factory):
         channels=("minhash_lsh",), warehouse=wh, run_id="runB",
     )
     assert not r2.stats["skipped_stages"]
+
+
+def test_input_change_invalidates_checkpoint(spark, corpus, tmp_path_factory):
+    """Same run_id + same config over CHANGED input must recompute, not
+    serve stale checkpoints: the stage fingerprint covers input content
+    (count + id hashes + sampled row hashes), not just config (ADVICE r2)."""
+    turns, _ = corpus
+    wh = str(tmp_path_factory.mktemp("warehouse4"))
+    docs = reassemble(dedupe_turn_versions(turns)).select("conv_id", "doc_text")
+    run_documents(
+        spark, docs, "conv_id", "doc_text", DedupConfig(),
+        channels=("minhash_lsh",), warehouse=wh, run_id="runD",
+    )
+    # drop some rows: same config, same run_id, different data
+    changed = docs.filter(F.crc32(F.col("conv_id")) % 5 != 0)
+    r2 = run_documents(
+        spark, changed, "conv_id", "doc_text", DedupConfig(),
+        channels=("minhash_lsh",), warehouse=wh, run_id="runD",
+    )
+    assert not r2.stats["skipped_stages"], "stale checkpoints served for changed input"
+    ids = {r.id for r in r2.clusters.collect()}
+    kept = {r.conv_id for r in changed.select("conv_id").collect()}
+    assert ids == kept
 
 
 def test_resume_false_forces_recompute(spark, corpus, tmp_path_factory):

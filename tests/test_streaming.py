@@ -105,3 +105,49 @@ def test_replay_after_lost_checkpoint_is_noop(spark, tmp_path):
     assert cat.read("index.features").count() == n_feats
     assert cat.read("index.bands").count() == n_bands
     assert cat.read("stream.verified").count() == n_verified
+
+
+def test_rearriving_conv_versions_and_pair_dedup(spark, tmp_path):
+    """A conv_id re-arriving in a LATER batch appends a new feature
+    version; readers resolve to the LATEST version (not an arbitrary
+    row), and stream.verified never accumulates duplicate (a, b) rows
+    across batches (ADVICE.md r2)."""
+    import os
+
+    from hsip.streaming import latest_index_versions
+
+    inp = tmp_path / "in4"
+    inp.mkdir()
+    wh = str(tmp_path / "wh4")
+    ckpt = str(tmp_path / "ckpt4")
+    cfg = DedupConfig(jaccard_threshold=0.7)
+    x = ["completely unique starting content " * 20]
+    y = ["shared duplicate target content words " * 20]
+    t0 = datetime(2025, 6, 1)
+
+    _write_wave(str(inp / "w1.parquet"), {"u1": x, "ref": y}, t0)
+    run_incremental_ingest(spark, str(inp), wh, ckpt, cfg)
+    # batch 2: u1 re-arrives UPDATED to match ref
+    _write_wave(str(inp / "w2.parquet"), {"u1": y}, t0 + timedelta(hours=1))
+    run_incremental_ingest(spark, str(inp), wh, ckpt, cfg)
+
+    cat = Catalog(spark, wh)
+    feats = cat.read("index.features")
+    assert feats.count() == 3, "updated conv must append a new version"
+    latest = latest_index_versions(feats, ["id"])
+    assert latest.count() == 2, "readers must see one (latest) row per id"
+    # updated u1 now matches ref
+    verified = [(r.a, r.b) for r in cat.read("stream.verified").collect()]
+    assert ("ref", "u1") in verified
+
+    # batch 3: a new conv with the same text must match BOTH ref and the
+    # UPDATED u1 — failing (u1, w3) would mean verification used u1's
+    # stale batch-1 features
+    _write_wave(str(inp / "w3.parquet"), {"w3": y}, t0 + timedelta(hours=2))
+    run_incremental_ingest(spark, str(inp), wh, ckpt, cfg)
+    verified = [(r.a, r.b) for r in cat.read("stream.verified").collect()]
+    assert ("ref", "w3") in verified and ("u1", "w3") in verified
+    assert len(verified) == len(set(verified)), "duplicate (a,b) pair rows"
+
+    # hive layout: replay-guard reads prune on batch_id partitions
+    assert os.path.isdir(os.path.join(wh, "index", "features", "data", "batch_id=0"))

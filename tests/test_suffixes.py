@@ -122,6 +122,52 @@ def test_exact_substr_within_groups(spark):
     assert all("a3" not in p and "b1" not in p for p in got)
 
 
+def test_exact_substr_group_byte_budget(spark):
+    """An oversized group is sub-bucketed (no single-task gigabyte
+    concatenation) and the split is logged — no silent caps. Doc pairs
+    that land in the same sub-bucket still yield exact spans."""
+    import dataclasses
+
+    from hsip.suffixes import exact_substr_within_groups
+
+    cfg = dataclasses.replace(
+        DedupConfig(min_substr_len=30), substr_group_byte_budget=200
+    )
+    span = "this exact span is repeated across two documents verbatim"
+    # one group far over the 200-byte budget -> ceil(bytes/200) sub-buckets
+    rows = [(f"d{i}", "g1", f"doc {i} padding " + span + " tail " + "z" * 40)
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "id string, grp string, text string")
+
+    class Rec:
+        def __init__(self):
+            self.rows = []
+
+        def metric(self, stage, key, value):
+            self.rows.append((stage, key, value))
+
+    rec = Rec()
+    out = exact_substr_within_groups(df, "id", "text", "grp", cfg, recorder=rec)
+    got = {(r.a, r.b) for r in out.collect()}
+    logged = {(s, k): v for s, k, v in rec.rows}
+    assert logged[("exact_substr_within_groups", "groups_sub_bucketed")] == 1
+    assert logged[("exact_substr_within_groups", "max_group_bytes")] > 200
+    # same-sub-bucket pairs are still extracted exactly; with 12 docs over
+    # >= 2 sub-buckets some pair must co-locate (pigeonhole)
+    assert got, "sub-bucketing extracted no spans at all"
+    # the unbudgeted run sees the whole group in one SA; the budgeted run
+    # must differ by missing some cross-sub-bucket adjacency — that
+    # difference IS the (logged) truncation. (The extractor emits
+    # adjacent-suffix pairs, so the two runs' pair sets aren't nested.)
+    full = {
+        (r.a, r.b)
+        for r in exact_substr_within_groups(
+            df, "id", "text", "grp", DedupConfig(min_substr_len=30)
+        ).collect()
+    }
+    assert full - got, "budget did not actually split the group"
+
+
 def test_hot_fingerprint_star_pairing(spark):
     """Boilerplate shared by many docs: capped star pairing still verifies."""
     cfg = DedupConfig(min_substr_len=40, winnow_window=10, substr_bucket_cap=3)
