@@ -721,6 +721,32 @@ def substr_duplicate_spans(spark, sf_dir):
     )
 
 
+def substr_pairs(spark, sf_dir):
+    """Substring channel, oracle-checkable PAIR SET (VERDICT.md r2 item 2):
+    two docs pair iff they share an exact >= L-char window of normalized
+    text. With the bucket/anchor caps disabled, the winnowing guarantee
+    (any common substring of length >= k+w-1 = L shares a selected
+    fingerprint) plus exact anchor-extension verification make the channel
+    output exactly "exists a common L-char window" — which DuckDB
+    reproduces hash-free by enumerating every L-char window per doc and
+    equi-joining on window equality."""
+    from hsip.config import DedupConfig
+    from hsip.suffixes import fingerprint_table, substr_candidates, verify_substr
+
+    cfg = DedupConfig(
+        min_substr_len=120, winnow_window=30,
+        substr_bucket_cap=1_000_000, max_anchors_per_pair=1_000_000,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    fps = fingerprint_table(docs, "doc_id", "text", cfg)
+    pairs, _ = substr_candidates(fps, cfg)
+    return (
+        verify_substr(pairs, docs, "doc_id", "text", cfg)
+        .filter("verdict")
+        .select("a", "b")
+    )
+
+
 def transcript_turn_equality_audit(spark, sf_dir):
     """Invariant check (BASELINE.json:15): per-turn byte-exact text
     equality under stable ordering. Returns VIOLATIONS — must be empty."""
@@ -803,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "shingle_counts": shingle_counts,
         "minhash_e2e_clusters": minhash_e2e_clusters,
+        "substr_pairs": substr_pairs,
         "doc_chunks": doc_chunks,
         # embeddings / similarity search
         "embedding_topk_neighbors": embedding_topk_neighbors,
@@ -1146,6 +1173,26 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
             )
             SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        # hash-free substring-channel oracle: enumerate every L=120-char
+        # window of normalized text; a pair exists iff some window is
+        # shared. Matches the channel exactly because winnowing has no
+        # false negatives at >= k+w-1 = L and verification is exact.
+        "substr_pairs": f"""
+            WITH n AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id, {norm_text} AS t
+                FROM documents
+            ),
+            w AS (
+                SELECT DISTINCT id, substr(t, i, 120) AS win
+                FROM (
+                    SELECT id, t,
+                           unnest(range(1, greatest(length(t) - 119, 0) + 1)) AS i
+                    FROM n
+                )
+            )
+            SELECT DISTINCT x.id AS a, y.id AS b
+            FROM w x JOIN w y ON x.win = y.win AND x.id < y.id
         """,
         "embedding_topk_neighbors": """
             WITH probes AS (
