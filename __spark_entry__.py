@@ -672,6 +672,10 @@ def image_feature_extraction(spark, sf_dir):
 
 
 def doc_minhash_signatures(spark, sf_dir):
+    """Signature-shape invariant, SQL-oracled: every doc (including empty
+    text — densification fills all coordinates) carries exactly num_perm
+    signature values. The VALUES are hash-kernel-specific (no oracle can
+    reproduce them); the shape is the part DuckDB can pin."""
     from hsip.config import DedupConfig
     from hsip.minhash import attach_minhash
     from hsip.shingle import shingle_docs
@@ -1173,6 +1177,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
             )
             SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        # shape invariant: one length-num_perm signature per doc (values
+        # are engine-hash-specific; length is oracle-checkable)
+        "doc_minhash_signatures": """
+            SELECT CAST(doc_id AS VARCHAR) AS id, CAST(128 AS INT) AS sig_len
+            FROM documents
         """,
         # hash-free substring-channel oracle: enumerate every L=120-char
         # window of normalized text; a pair exists iff some window is

@@ -37,7 +37,7 @@ def pairs_from_buckets(
     cap: int,
     id_col: str = "id",
     bucket_cols: tuple[str, ...] = ("band_id", "band_hash"),
-    channel: str = "minhash_lsh",
+    channel: str | None = "minhash_lsh",
     hot_policy: str = "star",
     salt_seed: int = 42,
 ) -> tuple[DataFrame, DataFrame]:
@@ -47,6 +47,12 @@ def pairs_from_buckets(
     metrics table (SURVEY.md S6; "no silent caps").
     Reused by every candidate channel (LSH bands, Hamming blocks,
     substring fingerprints): they all reduce to "same bucket key => pair".
+
+    ``channel=None`` takes the channel from a ``channel`` COLUMN of the
+    bucket table (which must then be part of ``bucket_cols``): several
+    channels' buckets union into ONE table and expand through ONE
+    shuffle chain — fewer short stages, the same pairs, deduped per
+    (a, b, channel).
 
     Hot-bucket policies (bucket size > cap, SURVEY §4.2.1):
       "star" (default) — every member pairs with the bucket minimum:
@@ -60,6 +66,8 @@ def pairs_from_buckets(
           hot_bucket_stats. Best when hot buckets are boilerplate noise
           that should NOT merge into one component.
     """
+    if channel is None:
+        assert "channel" in bucket_cols, "dynamic channel needs a channel bucket col"
     cols = list(bucket_cols)
     # Bucket sizes via groupBy + join-back, NOT a window count: groupBy
     # pre-aggregates map-side so a 10^7-row boilerplate bucket never lands
@@ -76,8 +84,10 @@ def pairs_from_buckets(
     cond = [F.col(f"x.{c}") == F.col(f"y.{c}") for c in cols] + [
         F.col(f"x.{id_col}") < F.col(f"y.{id_col}")
     ]
+    s_chan = F.col("x.channel") if channel is None else F.lit(channel)
     small_pairs = x.join(y, cond).select(
-        F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"),
+        s_chan.alias("channel"),
     )
 
     hot = tagged.filter(F.col("bsz") > cap)
@@ -96,17 +106,20 @@ def pairs_from_buckets(
             F.col("hx._salt") == F.col("hy._salt"),
             F.col(f"hx.{id_col}") < F.col(f"hy.{id_col}"),
         ]
+        h_chan = F.col("hx.channel") if channel is None else F.lit(channel)
         hot_pairs = hx.join(hy, hcond).select(
-            F.col(f"hx.{id_col}").alias("a"), F.col(f"hy.{id_col}").alias("b")
+            F.col(f"hx.{id_col}").alias("a"), F.col(f"hy.{id_col}").alias("b"),
+            h_chan.alias("channel"),
         )
     else:
         # star: connect every member to the bucket minimum — O(m) edges,
         # the bucket stays one connected component in the pair graph
         hot_min = hot.groupBy(*cols).agg(F.min(id_col).alias("a"))
+        h_chan = F.col("channel") if channel is None else F.lit(channel)
         hot_pairs = (
             hot.join(hot_min, cols)
             .filter(F.col(id_col) != F.col("a"))
-            .select("a", F.col(id_col).alias("b"))
+            .select("a", F.col(id_col).alias("b"), h_chan.alias("channel"))
         )
 
     pairs = (
@@ -114,9 +127,9 @@ def pairs_from_buckets(
         .select(
             F.least("a", "b").alias("a"),
             F.greatest("a", "b").alias("b"),
-            F.lit(channel).alias("channel"),
+            "channel",
         )
-        .dropDuplicates(["a", "b"])
+        .dropDuplicates(["a", "b", "channel"])
     )
     hot_stats = hot.groupBy(*cols).agg(F.max("bsz").alias("bucket_size"))
     return pairs, hot_stats

@@ -17,6 +17,7 @@ stage checkpoint write (or cache for ephemeral runs). Candidate channels:
 
 from __future__ import annotations
 
+import os
 import uuid
 from dataclasses import dataclass, field
 
@@ -28,12 +29,12 @@ from .catalog import Catalog
 from .cc import assign_clusters, canonical_representatives
 from .checkpoint import Checkpointer, input_fingerprint
 from .config import DedupConfig
-from .lsh import lsh_candidates
+from .lsh import band_table, lsh_candidates, pairs_from_buckets
 from .metrics import Recorder, StageTimer
 from .minhash import attach_minhash
 from .reassemble import dedupe_turn_versions, reassemble
 from .shingle import shingle_docs
-from .simhash import attach_simhash, simhash_candidates
+from .simhash import attach_simhash, hamming_block_table, simhash_candidates
 from .suffixes import fingerprint_table, substr_candidates, verify_substr
 from .textkernel import featurize
 
@@ -62,6 +63,47 @@ def _ephemeral(df: DataFrame, name: str = "?") -> DataFrame:
     df.sparkSession.sparkContext.setJobDescription(None)
     _log.info("stage %s: %d rows in %.2fs", name, n, time.time() - t0)
     return df
+
+
+def _run_channels(spark: SparkSession, builders) -> list[DataFrame]:
+    """Run the candidate channels' build chains as CONCURRENT Spark jobs.
+
+    Each channel's chain is a handful of short shuffle stages (bucket
+    repartition + size groupBy + pair join) whose last task waves leave
+    executors idle; serialized, those idle tails add up to ~20% of wall
+    at small executor counts (BENCH/BASELINE.md). Submitting the chains
+    from separate threads (one FAIR scheduler pool each — see session.py)
+    lets one channel's tasks backfill another's straggler waves. Shared
+    upstream frames (base, features) are cached + eagerly materialized
+    BEFORE the threads start, so no subtree is recomputed concurrently
+    (the lazy-cache trap the eager counts exist to prevent).
+
+    Checkpointed runs are safe too: each stage writes its own table and
+    the Recorder only appends driver-side. Channel order in the result is
+    the caller's ``builders`` order regardless of completion order.
+
+    Same-session A/B on the 554k-turn corpus (BENCH/BASELINE.md r3):
+    concurrent beats sequential at BOTH 1-core (286.8 s vs 303.3 s —
+    planning of one chain overlaps execution of another even with a
+    single task slot) and 4-core executors (150.3 s vs 172.8 s).
+    HSIP_CHANNEL_CONCURRENCY=0 forces the sequential path.
+    """
+    sc = spark.sparkContext
+    if len(builders) <= 1 or os.environ.get("HSIP_CHANNEL_CONCURRENCY", "1") == "0":
+        return [build() for _, build in builders]
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(item):
+        name, build = item
+        # per-thread pool: FAIR across channels, created on demand
+        sc.setLocalProperty("spark.scheduler.pool", f"hsip-{name}")
+        try:
+            return build()
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    with ThreadPoolExecutor(max_workers=len(builders)) as ex:
+        return list(ex.map(run, builders))
 
 
 def _reused(df: DataFrame, reuse: bool, name: str = "") -> DataFrame:
@@ -137,7 +179,6 @@ def run_documents(
         return _reused(build(), reuse, name)
 
     stats: dict = {}
-    verified_parts: list[DataFrame] = []
     need_mh = "minhash_lsh" in channels
     need_sh = "simhash" in channels
 
@@ -157,7 +198,7 @@ def run_documents(
                 "simhash", lambda: attach_simhash(base, "id", "text", cfg)
             )
 
-    if need_mh:
+    def _mh_channel() -> DataFrame:
         def build_lsh():
             pairs, hot = lsh_candidates(sigs, cfg)
             if rec:
@@ -166,14 +207,13 @@ def run_documents(
             return pairs
 
         lsh_pairs = stage("lsh_candidates", build_lsh, reuse=False)
-        vj = stage(
+        return stage(
             "verify_jaccard",
             lambda: V.verify_jaccard(lsh_pairs, shingles, cfg),
             reuse=False,
         )
-        verified_parts.append(vj)
 
-    if need_sh:
+    def _sh_channel() -> DataFrame:
         def build_sim():
             pairs, hot = simhash_candidates(simhashes, cfg)
             if rec:
@@ -181,14 +221,60 @@ def run_documents(
             return pairs
 
         sim_pairs = stage("simhash_candidates", build_sim, reuse=False)
-        vh = stage(
+        return stage(
             "verify_hamming",
             lambda: V.verify_hamming(sim_pairs, simhashes, cfg),
             reuse=False,
         )
-        verified_parts.append(vh)
 
-    if "substr" in channels:
+    def _mh_sh_channel() -> DataFrame:
+        """Fused MinHash+SimHash chain (VERDICT.md r2 item 1): both
+        channels' buckets union into ONE cached table, expand through ONE
+        shuffle chain, and verify through ONE hydration against the
+        cached features table — roughly half the shuffle stages of the
+        two separate chains, with identical pairs and verdicts (pinned by
+        tests/test_e2e_oracle.py's 3-channel brute-force oracle)."""
+
+        def build_cands():
+            mh = band_table(sigs, cfg).select(
+                F.lit("minhash_lsh").alias("channel"), "id",
+                F.col("band_id").alias("bkt_id"),
+                F.col("band_hash").alias("bkt_hash"),
+            )
+            sh = hamming_block_table(simhashes, cfg).select(
+                F.lit("simhash").alias("channel"), "id",
+                F.col("table_id").alias("bkt_id"),
+                F.col("key_hash").alias("bkt_hash"),
+            )
+            # cache + eager count: pairs_from_buckets contract (sizes
+            # groupBy and join-back both scan the bucket table)
+            both = (
+                mh.unionByName(sh)
+                .repartition("channel", "bkt_id", "bkt_hash")
+                .cache()
+            )
+            both.count()
+            pairs, hot = pairs_from_buckets(
+                both, cfg.bucket_cap,
+                bucket_cols=("channel", "bkt_id", "bkt_hash"), channel=None,
+                hot_policy=cfg.hot_bucket_policy, salt_seed=cfg.seed,
+            )
+            if rec:
+                for r in hot.groupBy("channel").count().collect():
+                    rec.metric(
+                        f"{r['channel']}_candidates",
+                        "hot_buckets_star_paired", r["count"],
+                    )
+            return pairs
+
+        cands = stage("candidates_mh_sh", build_cands, reuse=False)
+        return stage(
+            "verify_mh_sh",
+            lambda: V.verify_jaccard_hamming(cands, feats, cfg),
+            reuse=False,
+        )
+
+    def _sub_channel() -> DataFrame:
         # cache: the bucket expansion filters this table along two branches
         fps = stage("substr_fps", lambda: fingerprint_table(base, "id", "text", cfg))
 
@@ -205,12 +291,26 @@ def run_documents(
             return pairs
 
         sub_pairs = stage("substr_candidates", build_substr, reuse=False)
-        vs = stage(
+        return stage(
             "verify_substr",
             lambda: verify_substr(sub_pairs, base, "id", "text", cfg),
             reuse=False,
         )
-        verified_parts.append(vs)
+
+    builders = []
+    if need_mh and need_sh and cfg.fused_kernel:
+        # fused-kernel runs hold (shingles, sig, simhash) in one cached
+        # frame -> the unified single-hydration chain applies
+        builders.append(("mh_sh", _mh_sh_channel))
+    else:
+        if need_mh:
+            builders.append(("minhash_lsh", _mh_channel))
+        if need_sh:
+            builders.append(("simhash", _sh_channel))
+    if "substr" in channels:
+        builders.append(("substr", _sub_channel))
+
+    verified_parts = _run_channels(spark, builders)
 
     verified = stage("verified", lambda: V.combine_verified(*verified_parts))
     clusters = stage(

@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("HSIP_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # the pipeline submits the three candidate channels as CONCURRENT
+        # jobs from separate threads (hsip/pipeline.py); FAIR scheduling
+        # lets their many short shuffle stages interleave and backfill
+        # idle task slots instead of queueing whole jobs FIFO — the main
+        # lever against last-wave straggler idle at small executor counts
+        # (BENCH/BASELINE.md decomposition of the 0.60 scaling number)
+        .config("spark.scheduler.mode", "FAIR")
     )
     if master.startswith(("local", "local-cluster")):
         # Don't hold task slots hostage to cache locality: the pipeline is

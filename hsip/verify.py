@@ -65,6 +65,39 @@ def verify_hamming(pairs: DataFrame, simhash_df: DataFrame, cfg: DedupConfig) ->
     )
 
 
+def verify_jaccard_hamming(pairs: DataFrame, features: DataFrame,
+                           cfg: DedupConfig) -> DataFrame:
+    """V2+V3 fused: verify a MIXED candidate table (channel column says
+    which check applies) against ONE canonical feature subplan.
+
+    Why fused: hydrating the minhash and simhash channels separately
+    ships two feature-side exchanges (one fat with shingle arrays, one
+    thin) and runs two short join chains whose straggler waves serialize.
+    Here both channels' pairs hydrate (shingles, simhash) through the
+    SAME projected subplan — ReuseExchange ships the feature table once —
+    and each row evaluates only its own channel's predicate (the CASE
+    keeps array_intersect off simhash rows). Halves the verify-phase
+    stage count at any executor count (VERDICT.md r2 item 1).
+    """
+    h = hydrate(pairs, features, ["shingles", "simhash"])
+    is_mh = F.col("channel") == "minhash_lsh"
+    jac = F.when(is_mh, jaccard_col())
+    ham = F.when(
+        ~is_mh,
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("int"),
+    )
+    return (
+        h.withColumn("jaccard", jac)
+        .withColumn("hamming", ham)
+        .drop("shingles_a", "shingles_b", "simhash_a", "simhash_b")
+        .withColumn(
+            "verdict",
+            F.when(is_mh, F.col("jaccard") >= cfg.jaccard_threshold)
+            .otherwise(F.col("hamming") <= cfg.hamming_d),
+        )
+    )
+
+
 def combine_verified(*verified: DataFrame) -> DataFrame:
     """V5: union per-channel verdicts into one edge list with provenance."""
     normed = []
