@@ -67,6 +67,12 @@ def run_once(master: str, path: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+# worker memory for local-cluster masters: must cover the executor it
+# hosts (HSIP_EXEC_MEM) plus overhead. The N=1 rung caches the whole
+# corpus on one executor, so this scales with corpus size (see sidecar
+# note): 554k turns fit 6g/7168MB; 2.76M needs ~9g/10240MB.
+_WMEM = os.environ.get("HSIP_WORKER_MEM_MB", "7168")
+
 _MODES = {
     # mode -> (masterN, master4N, metric name, sidecar file)
     "threads": (
@@ -74,7 +80,7 @@ _MODES = {
         "scaling_efficiency_8_to_32_threads", "scaling_latest.json",
     ),
     "executors": (
-        "local-cluster[2,4,7168]", "local-cluster[8,4,7168]",
+        f"local-cluster[2,4,{_WMEM}]", f"local-cluster[8,4,{_WMEM}]",
         "scaling_efficiency_2_to_8_executors", "scaling_executors_latest.json",
     ),
     # 1 -> 4 executors of 2 cores: the N->4N *executor* measurement whose
@@ -83,7 +89,7 @@ _MODES = {
     # against co-tenants and measure the host, not the engine. See
     # BENCH/BASELINE.md.
     "executors1to4": (
-        "local-cluster[1,2,7168]", "local-cluster[4,2,7168]",
+        f"local-cluster[1,2,{_WMEM}]", f"local-cluster[4,2,{_WMEM}]",
         "scaling_efficiency_1_to_4_executors", "scaling_executors_1to4_latest.json",
     ),
     # 1-core executors, 1 -> 4: the only N->4N pair whose UPPER level
@@ -91,7 +97,7 @@ _MODES = {
     # ceiling (local[8] == local[32] wall) — above it the host, not the
     # engine, bounds the ratio. See BENCH/BASELINE.md.
     "executors1c": (
-        "local-cluster[1,1,7168]", "local-cluster[4,1,7168]",
+        f"local-cluster[1,1,{_WMEM}]", f"local-cluster[4,1,{_WMEM}]",
         "scaling_efficiency_1c_1_to_4_executors", "scaling_executors_1c_latest.json",
     ),
 }
@@ -140,6 +146,11 @@ def main():
         "unit": "ratio",
         "levels": results,
         "n_base": args.n_base,
+        # same per-executor memory at BOTH levels; the N=1 rung holds the
+        # ENTIRE corpus's caches on one executor, so this must scale with
+        # corpus-per-executor exactly as a real deployment would size it
+        # (6g suffices at 554k turns; 2.76M needs ~9g at N=1)
+        "executor_memory": os.environ.get("HSIP_EXEC_MEM", "6g"),
     }
     print(json.dumps(summary))
     # raw results land in a sidecar; BENCH/BASELINE.md carries the curated

@@ -95,3 +95,46 @@ def test_s_curve_candidate_probability(spark):
     # binomial 3-sigma band
     sigma = np.sqrt(n_pairs * expect * (1 - expect))
     assert abs(hits - n_pairs * expect) < 3 * sigma + 2
+
+
+def test_unified_channel_pairs_equal_separate(spark):
+    """The fused mh+sh bucket expansion (one union table, dynamic channel
+    column) must produce exactly the per-channel union of the separate
+    lsh_candidates + simhash_candidates runs."""
+    from hsip.simhash import attach_simhash, simhash_candidates
+    from hsip.textkernel import featurize
+
+    cfg = DedupConfig(bucket_cap=64)
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        ("d1", base),
+        ("d2", base + " extra"),                       # near-dup of d1
+        ("d3", " ".join(f"zz{i}" for i in range(60))),  # unrelated
+        ("d4", base),                                   # exact dup of d1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    feats = featurize(docs, "doc_id", "text", cfg).cache()
+    feats.count()
+    sigs = feats.select("id", "sig")
+    sims = feats.select("id", "simhash")
+
+    sep_mh, _ = lsh_candidates(sigs, cfg)
+    sep_sh, _ = simhash_candidates(sims, cfg)
+    sep = {(r.a, r.b, r.channel) for df in (sep_mh, sep_sh) for r in df.collect()}
+
+    from hsip.simhash import hamming_block_table
+
+    mh = band_table(sigs, cfg).select(
+        F.lit("minhash_lsh").alias("channel"), "id",
+        F.col("band_id").alias("bkt_id"), F.col("band_hash").alias("bkt_hash"))
+    sh = hamming_block_table(sims, cfg).select(
+        F.lit("simhash").alias("channel"), "id",
+        F.col("table_id").alias("bkt_id"), F.col("key_hash").alias("bkt_hash"))
+    both = mh.unionByName(sh).repartition("channel", "bkt_id", "bkt_hash").cache()
+    both.count()
+    uni_pairs, _ = pairs_from_buckets(
+        both, cfg.bucket_cap, bucket_cols=("channel", "bkt_id", "bkt_hash"),
+        channel=None,
+    )
+    uni = {(r.a, r.b, r.channel) for r in uni_pairs.collect()}
+    assert uni == sep and uni, uni ^ sep
