@@ -61,6 +61,16 @@ class Catalog:
     def read(self, ident: str) -> DataFrame:
         if self.iceberg_catalog:
             return self.spark.read.table(f"{self.iceberg_catalog}.{ident}")
+        man = self.manifest(ident)
+        if "empty_schema" in man:
+            # zero-row partitioned table: schema lives in the manifest
+            # (a hive-partitioned write of zero rows yields no readable
+            # files, so the schema is carried out-of-band — Iceberg keeps
+            # it in table metadata natively)
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(man["empty_schema"])))
         return self.spark.read.parquet(os.path.join(self._path(ident), "data"))
 
     def manifest(self, ident: str) -> dict:
@@ -109,11 +119,40 @@ class Catalog:
                 w.createOrReplace()
             return
         base = self._path(ident)
+        if mode == "append" and self.exists(ident):
+            # a mixed root-files/key=value layout is rejected by Spark
+            # partition discovery, so an append whose partition_by differs
+            # from the table's recorded layout must fail fast instead of
+            # corrupting the table (ADVICE.md r3)
+            existing = self.manifest(ident).get("partition_by")
+            if existing != (partition_by or None) and "empty_schema" not in self.manifest(ident):
+                raise ValueError(
+                    f"append to {ident}: partition_by={partition_by!r} does not "
+                    f"match the table's existing layout {existing!r}")
         if partition_by and df.isEmpty():
-            # a hive-partitioned write of zero rows yields no schema-bearing
-            # files (unreadable dir); appending nothing is a no-op and the
-            # table is created on the first non-empty write instead (the
-            # Iceberg path keeps schema in metadata, so only parquet skips)
+            if mode == "append" and self.exists(ident):
+                # appending nothing to an existing table is a no-op
+                return
+            # overwrite (or first write) of zero rows must still truncate /
+            # create the table: a hive-partitioned write of zero rows yields
+            # no schema-bearing files, so commit a manifest that carries the
+            # schema out-of-band and an empty data dir (read() reconstructs
+            # the empty frame; Iceberg keeps schema in metadata natively)
+            tmp = f"{base}.tmp-{uuid.uuid4().hex[:8]}"
+            os.makedirs(os.path.join(tmp, "data"))
+            man = {
+                "ident": ident,
+                "snapshot_id": uuid.uuid4().hex,
+                "committed_at": time.time(),
+                "meta": meta or {},
+                "partition_by": partition_by,
+                "empty_schema": df.schema.json(),
+            }
+            with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+                json.dump(man, f)
+            if os.path.exists(base):
+                shutil.rmtree(base)
+            os.rename(tmp, base)
             return
         tmp = f"{base}.tmp-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("overwrite")

@@ -19,26 +19,26 @@ from .catalog import Catalog
 
 
 def input_fingerprint(df: DataFrame, id_col: str = "id",
-                      text_col: str = "text", sample_mod: int = 997) -> str:
+                      text_col: str = "text") -> str:
     """Order-insensitive content fingerprint of the pipeline input.
 
     Config fingerprints alone can't tell that a caller re-ran the same
     run_id over CHANGED data — resume would then serve stale checkpoints
     (ADVICE.md r2). One aggregate over the (already-cached) base frame
-    captures: row count, an order-free sum of id hashes, and a sum of
-    full-row hashes for a deterministic ~1/sample_mod row sample (content
-    drift detection without hashing every byte of a 100 TB corpus; ids
-    are covered exhaustively, text by sample). ANSI mode: long sums
-    overflow, so hashes accumulate as decimal(38,0).
+    captures: row count, an order-free sum of id hashes, and an
+    order-free sum of full (id, text) row hashes — every row's content
+    contributes, so any in-place edit flips the fingerprint (ADVICE.md
+    r3: a sampled sum missed ~99.8% of single-row edits; the full-row
+    hash was already evaluated per row, so summing all of them costs
+    nothing extra). ANSI mode: long sums overflow, so hashes accumulate
+    as decimal(38,0).
     """
     h_id = F.xxhash64(F.col(id_col), F.lit(7)).cast("decimal(38,0)")
-    h_row = F.xxhash64(F.col(id_col), F.col(text_col), F.lit(11))
-    sampled = F.when(F.pmod(h_row, F.lit(sample_mod)) == 0,
-                     h_row.cast("decimal(38,0)"))
+    h_row = F.xxhash64(F.col(id_col), F.col(text_col), F.lit(11)).cast("decimal(38,0)")
     row = df.select(
         F.count(F.lit(1)).alias("n"),
         F.sum(h_id).alias("hi"),
-        F.sum(sampled).alias("hs"),
+        F.sum(h_row).alias("hs"),
     ).first()
     return f"{row['n']}-{row['hi']}-{row['hs']}"
 

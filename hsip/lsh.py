@@ -135,8 +135,14 @@ def pairs_from_buckets(
     return pairs, hot_stats
 
 
-def lsh_candidates(sig_df: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
-    """(id, sig) -> (candidate pairs, hot-bucket stats)."""
+def lsh_candidates(sig_df: DataFrame, cfg: DedupConfig,
+                   scratch: list | None = None) -> tuple[DataFrame, DataFrame]:
+    """(id, sig) -> (candidate pairs, hot-bucket stats).
+
+    ``scratch``: optional list the internal band cache is appended to so
+    the caller can ``unpersist()`` it once the pairs have materialized
+    (VERDICT.md r3 item 5 — without it the cache lives until session end).
+    """
     bands = band_table(sig_df, cfg)
     # co-locate bucket members before the self-join; AQE coalesces after.
     # cache + eager count honors the pairs_from_buckets contract (the
@@ -144,6 +150,8 @@ def lsh_candidates(sig_df: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, Data
     # would recompute the posexplode once per consumer — see memory note)
     bands = bands.repartition("band_id", "band_hash").cache()
     bands.count()
+    if scratch is not None:
+        scratch.append(bands)
     return pairs_from_buckets(
         bands, cfg.bucket_cap, channel="minhash_lsh",
         hot_policy=cfg.hot_bucket_policy, salt_seed=cfg.seed,

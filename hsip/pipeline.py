@@ -182,10 +182,17 @@ def run_documents(
     need_mh = "minhash_lsh" in channels
     need_sh = "simhash" in channels
 
+    # caches whose LAST consumer is the channel verify phase — released
+    # in one sweep after the `verified` stage materializes, so a long
+    # session running many pipelines doesn't accrete executor storage
+    # (VERDICT.md r3 item 5). Threads only append (GIL-atomic).
+    scratch: list[DataFrame] = []
+
     shingles = sigs = simhashes = None
     if cfg.fused_kernel and (need_mh or need_sh):
         # one Arrow pass computes shingles+sig+simhash (textkernel.py)
         feats = stage("features", lambda: featurize(base, "id", "text", cfg))
+        scratch.append(feats)
         shingles = feats.select("id", "shingles")
         sigs = feats.select("id", "sig")
         simhashes = feats.select("id", "simhash")
@@ -193,14 +200,16 @@ def run_documents(
         if need_mh:
             shingles = stage("shingles", lambda: shingle_docs(base, "id", "text", cfg))
             sigs = stage("minhash", lambda: attach_minhash(shingles, cfg), reuse=False)
+            scratch.append(shingles)
         if need_sh:
             simhashes = stage(
                 "simhash", lambda: attach_simhash(base, "id", "text", cfg)
             )
+            scratch.append(simhashes)
 
     def _mh_channel() -> DataFrame:
         def build_lsh():
-            pairs, hot = lsh_candidates(sigs, cfg)
+            pairs, hot = lsh_candidates(sigs, cfg, scratch=scratch)
             if rec:
                 n_hot = hot.count()
                 rec.metric("lsh_candidates", "hot_buckets_star_paired", n_hot)
@@ -215,7 +224,7 @@ def run_documents(
 
     def _sh_channel() -> DataFrame:
         def build_sim():
-            pairs, hot = simhash_candidates(simhashes, cfg)
+            pairs, hot = simhash_candidates(simhashes, cfg, scratch=scratch)
             if rec:
                 rec.metric("simhash_candidates", "hot_buckets_star_paired", hot.count())
             return pairs
@@ -254,6 +263,7 @@ def run_documents(
                 .cache()
             )
             both.count()
+            scratch.append(both)
             pairs, hot = pairs_from_buckets(
                 both, cfg.bucket_cap,
                 bucket_cols=("channel", "bkt_id", "bkt_hash"), channel=None,
@@ -277,10 +287,17 @@ def run_documents(
     def _sub_channel() -> DataFrame:
         # cache: the bucket expansion filters this table along two branches
         fps = stage("substr_fps", lambda: fingerprint_table(base, "id", "text", cfg))
+        scratch.append(fps)
 
         def build_substr():
             pairs, hot = substr_candidates(fps, cfg)
             if rec:
+                # cache + eager count BEFORE the metric scans: without it
+                # the hot.count() + truncation filter re-execute the whole
+                # candidate chain in warehouse runs (VERDICT.md r3 item 3)
+                pairs = pairs.cache()
+                pairs.count()
+                scratch.append(pairs)
                 rec.metric("substr_candidates", "hot_fingerprints_star_paired", hot.count())
                 rec.metric(
                     "substr_candidates", "anchor_truncated_pairs",
@@ -313,6 +330,13 @@ def run_documents(
     verified_parts = _run_channels(spark, builders)
 
     verified = stage("verified", lambda: V.combine_verified(*verified_parts))
+    # `verified` just materialized (cache+count or checkpoint write), so
+    # every feature/band/bucket cache has served its last consumer —
+    # release executor storage before CC runs (VERDICT.md r3 item 5).
+    # Downstream stages touch only `base` + `verified`.
+    for cached in scratch:
+        cached.unpersist()
+    scratch.clear()
     clusters = stage(
         "clusters",
         lambda: assign_clusters(
@@ -329,6 +353,9 @@ def run_documents(
         stats["skipped_stages"] = list(ckpt.skipped)
         stats["computed_stages"] = list(ckpt.computed)
 
+    # result frames (verified/clusters/reps) are materialized; base has no
+    # remaining consumer
+    base.unpersist()
     return PipelineResult(
         clusters=clusters, verified=verified, representatives=reps,
         run_id=run_id, stats=stats,

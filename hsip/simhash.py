@@ -133,7 +133,10 @@ def hamming_block_table(simhash_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     return simhash_df.select("id", F.posexplode(keys).alias("table_id", "key_hash"))
 
 
-def simhash_candidates(simhash_df: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+def simhash_candidates(simhash_df: DataFrame, cfg: DedupConfig,
+                       scratch: list | None = None) -> tuple[DataFrame, DataFrame]:
+    # scratch: optional list the block cache is appended to so the caller
+    # can unpersist it after pair materialization (VERDICT.md r3 item 5).
     # cache + eager count honors the pairs_from_buckets contract (the
     # sizes-groupBy and the join-back both scan the block table, which is
     # C(B, B-d) rows per doc — 56x at B=8,d=3 — so recomputing the
@@ -145,6 +148,8 @@ def simhash_candidates(simhash_df: DataFrame, cfg: DedupConfig) -> tuple[DataFra
         .cache()
     )
     blocks.count()
+    if scratch is not None:
+        scratch.append(blocks)
     return pairs_from_buckets(
         blocks,
         cfg.bucket_cap,

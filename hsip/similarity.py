@@ -87,7 +87,8 @@ def rhp_signatures(emb: DataFrame, dim: int, n_bits: int = 64, seed: int = 42,
 def rhp_lsh_topk(emb: DataFrame, k: int, dim: int, n_bits: int = 64,
                  band_bits: int = 8, seed: int = 42, bucket_cap: int = 512,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 recorder=None, hot_policy: str = "star") -> DataFrame:
+                 recorder=None, hot_policy: str = "star",
+                 scratch: list | None = None) -> DataFrame:
     """Approximate top-k: band the sign signature into n_bits/band_bits
     bucket keys, exact-cosine re-rank within buckets.
 
@@ -120,6 +121,10 @@ def rhp_lsh_topk(emb: DataFrame, k: int, dim: int, n_bits: int = 64,
         .cache()
     )
     bands.count()
+    if scratch is not None:
+        # caller releases both once the top-k result has materialized
+        # (VERDICT.md r3 item 5)
+        scratch.extend([sigs, bands])
     pairs, hot_stats = pairs_from_buckets(
         bands, bucket_cap, bucket_cols=("band_id", "band_key"),
         channel="rhp_lsh", hot_policy=hot_policy, salt_seed=seed,

@@ -31,7 +31,11 @@ Scale + re-arrival semantics (VERDICT.md r2 item 6, ADVICE.md r2):
     dropDuplicates pick.
   - ``stream.verified`` dedups pairs across the WHOLE stream (anti-join
     on (a, b) over all batches), so a pair re-derived after an update
-    does not inflate pair-level reporting.
+    does not inflate pair-level reporting; the table is partitioned by
+    ``pair_bucket = pmod(xxhash64(a, b), N)`` and the guard scans only
+    the delta's buckets, so per-batch cost is bounded by the delta, not
+    by stream lifetime (VERDICT.md r3 item 2; Iceberg: MERGE into a
+    bucket(N, a, b)-partitioned table).
 
 Also provides a watermarked windowed aggregation (turn-rate metrics)
 demonstrating late-data handling for the metrics side.
@@ -95,6 +99,34 @@ def latest_index_versions(idx: DataFrame, keys: list[str]) -> DataFrame:
     return idx.join(latest, [*keys, "batch_id", "stream_id"])
 
 
+# hash-bucket fan-out of stream-scoped dedup tables (stream.verified):
+# small enough that one bucket directory is a meaningful fraction of the
+# table, large enough that a small delta prunes most of it.  On Iceberg
+# this is `bucket(N, a, b)` in the partition spec.
+N_PAIR_BUCKETS = 32
+
+
+def pruned_prior(catalog: Catalog, ident: str, delta: DataFrame,
+                 keys: list[str], stream_id: str, scope: str = "stream",
+                 batch_id: int | None = None) -> DataFrame:
+    """Prior-rows frame for the replay guard, pruned to what the delta
+    can possibly collide with.
+
+    batch scope prunes on the batch_id partition (one directory);
+    stream scope prunes on the pair_bucket partitions the DELTA's keys
+    hash into — a small delta touches few buckets, so the anti-join scan
+    is bounded by the delta's key spread instead of growing with the
+    stream's life (VERDICT.md r3 item 2).  The bucket list is a
+    driver-side collect of at most N_PAIR_BUCKETS ints (metadata scale,
+    not row data).
+    """
+    prior = catalog.read(ident).filter(F.col("stream_id") == stream_id)
+    if scope == "batch":
+        return prior.filter(F.col("batch_id") == batch_id)
+    buckets = [r[0] for r in delta.select("pair_bucket").distinct().collect()]
+    return prior.filter(F.col("pair_bucket").isin(buckets))
+
+
 def run_incremental_ingest(
     spark: SparkSession,
     input_dir: str,
@@ -124,20 +156,33 @@ def run_incremental_ingest(
                          attempt without duplicating it, while allowing a
                          re-arriving key in a later batch to append a new
                          VERSION (readers resolve latest; see
-                         latest_index_versions).
+                         latest_index_versions). Partitioned by batch_id,
+                         so the guard read prunes to ONE partition —
+                         O(one batch), not O(index).
         scope="stream" — anti-join prior rows of the whole stream on the
                          keys: first occurrence wins across batches (used
                          for stream.verified, where a re-derived pair is
-                         a duplicate, not a version).
-        The batch_id partition filter prunes the read to one partition
-        directory (or Iceberg manifest) — O(one batch), not O(index).
+                         a duplicate, not a version). Partitioned by
+                         pair_bucket = pmod(xxhash64(keys), N) and the
+                         guard read prunes to the DELTA's buckets
+                         (VERDICT.md r3 item 2) — bounded by the delta's
+                         key spread, not by stream lifetime; on Iceberg
+                         this whole append-once is a MERGE into a table
+                         bucketed by bucket(N, a, b).
         """
+        if scope == "stream":
+            df = df.withColumn(
+                "pair_bucket",
+                F.pmod(F.xxhash64(*keys), F.lit(N_PAIR_BUCKETS)),
+            ).cache()
         if catalog.exists(ident):
-            prior = catalog.read(ident).filter(F.col("stream_id") == stream_id)
-            if scope == "batch":
-                prior = prior.filter(F.col("batch_id") == batch_id)
+            prior = pruned_prior(catalog, ident, df, keys, stream_id,
+                                 scope=scope, batch_id=batch_id)
             df = df.join(prior.select(keys), keys, "left_anti")
-        catalog.write(df, ident, mode="append", partition_by=["batch_id"])
+        part = ["pair_bucket"] if scope == "stream" else ["batch_id"]
+        catalog.write(df, ident, mode="append", partition_by=part)
+        if scope == "stream":
+            df.unpersist()
 
     def process_batch(batch_turns: DataFrame, batch_id: int) -> None:
         if batch_turns.isEmpty():

@@ -285,6 +285,101 @@ def _extend_span(ta: np.ndarray, tb: np.ndarray, pa: int, pb: int, k: int) -> in
     return lo + k + hi
 
 
+_CHUNK = 256                      # bytes compared per vectorized scan round
+
+
+def _first_mismatch(A: np.ndarray, B: np.ndarray, ia0: np.ndarray,
+                    ib0: np.ndarray, limit: np.ndarray,
+                    direction: int) -> np.ndarray:
+    """Count of equal leading bytes for a BATCH of cursor pairs.
+
+    Row r compares A[ia0[r] + direction*j] vs B[ib0[r] + direction*j]
+    for j = 0..limit[r]-1 and returns the first-mismatch index (limit[r]
+    if all equal). Chunked: each round is one O(active x _CHUNK) numpy
+    comparison, so cost is bytes-compared with no per-row Python — the
+    cross-pair vectorization of _extend_span (VERDICT.md r3 item 6).
+    Out-of-range probes are clip-indexed and masked invalid (callers
+    bound `limit` to stay inside each row's document, so clipped reads
+    never affect results).
+    """
+    n = len(ia0)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    active = limit > 0
+    maxA, maxB = max(len(A) - 1, 0), max(len(B) - 1, 0)
+    j_rel = np.arange(_CHUNK)
+    offset = 0
+    while active.any():
+        rows = np.nonzero(active)[0]
+        j = offset + j_rel
+        ia = ia0[rows, None] + direction * j
+        ib = ib0[rows, None] + direction * j
+        valid = j < limit[rows, None]
+        eq = (A[np.clip(ia, 0, maxA)] == B[np.clip(ib, 0, maxB)]) & valid
+        mm = ~eq
+        first = np.where(mm.any(axis=1), mm.argmax(axis=1), _CHUNK)
+        out[rows] = offset + np.minimum(first, limit[rows] - offset)
+        offset += _CHUNK
+        active[rows] = (first == _CHUNK) & (limit[rows] > offset)
+    return out
+
+
+def _span_lens_batch(enc_a: list[bytes], enc_b: list[bytes],
+                     pa_lists: list, pb_lists: list,
+                     k: int, min_len: int) -> np.ndarray:
+    """Batched maximal-span measurement over candidate pairs.
+
+    Semantics identical to looping _extend_span over each pair's anchors
+    with early-break at min_len (the anchor-round structure preserves
+    that break, so reported lengths match the scalar path byte for
+    byte); execution is flat-array numpy across ALL pairs in the batch —
+    per-anchor rounds of _first_mismatch — so Python cost is O(pairs)
+    bookkeeping, not O(bytes scanned) (VERDICT.md r3 item 6).
+    """
+    n = len(enc_a)
+    best = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return best
+    la = np.fromiter((len(x) for x in enc_a), np.int64, n)
+    lb = np.fromiter((len(x) for x in enc_b), np.int64, n)
+    offA = np.zeros(n, np.int64)
+    offA[1:] = la.cumsum()[:-1]
+    offB = np.zeros(n, np.int64)
+    offB[1:] = lb.cumsum()[:-1]
+    A = np.frombuffer(b"".join(enc_a), np.uint8)
+    B = np.frombuffer(b"".join(enc_b), np.uint8)
+    cnt = np.fromiter((len(x) for x in pa_lists), np.int64, n)
+    m = int(cnt.max()) if n else 0
+    PA = np.zeros((n, m), np.int64)
+    PB = np.zeros((n, m), np.int64)
+    for i in range(n):                       # padding only — no byte work
+        c = cnt[i]
+        if c:
+            PA[i, :c] = np.asarray(pa_lists[i], np.int64)
+            PB[i, :c] = np.asarray(pb_lists[i], np.int64)
+    done = np.zeros(n, bool)
+    for j in range(m):
+        # anchor round j: pairs not yet past min_len try their j-th anchor
+        rows = np.nonzero(~done & (cnt > j))[0]
+        if not len(rows):
+            break
+        pa, pb = PA[rows, j], PB[rows, j]
+        ra, rb = la[rows], lb[rows]
+        ok = (pa + k <= ra) & (pb + k <= rb)
+        ia, ib = offA[rows] + pa, offB[rows] + pb
+        kmatch = _first_mismatch(A, B, ia, ib, np.where(ok, k, 0), 1)
+        ok &= kmatch == k
+        lo = _first_mismatch(A, B, ia - 1, ib - 1,
+                             np.where(ok, np.minimum(pa, pb), 0), -1)
+        lim_r = np.maximum(np.minimum(ra - pa, rb - pb) - k, 0)
+        hi = _first_mismatch(A, B, ia + k, ib + k,
+                             np.where(ok, lim_r, 0), 1)
+        best[rows] = np.maximum(best[rows], np.where(ok, lo + k + hi, 0))
+        done = best >= min_len
+    return best
+
+
 def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
                   cfg: DedupConfig) -> DataFrame:
     """V4: exact span measurement for substring candidates.
@@ -331,19 +426,14 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
 
     @pandas_udf(T.IntegerType())
     def span_len(ta: pd.Series, tb: pd.Series, pas: pd.Series, pbs: pd.Series) -> pd.Series:
-        out = np.zeros(len(ta), dtype=np.int32)
-        for i in range(len(ta)):
-            # anchor positions are byte offsets into the utf-8 encoding
-            # (matching fingerprint_table) — compare bytes, not chars
-            ba = np.frombuffer((ta.iloc[i] or "").encode("utf-8"), np.uint8)
-            bb = np.frombuffer((tb.iloc[i] or "").encode("utf-8"), np.uint8)
-            best = 0
-            for pa, pb in zip(pas.iloc[i], pbs.iloc[i]):
-                best = max(best, _extend_span(ba, bb, int(pa), int(pb), k))
-                if best >= min_len:
-                    break
-            out[i] = best
-        return pd.Series(out)
+        # anchor positions are byte offsets into the utf-8 encoding
+        # (matching fingerprint_table) — compare bytes, not chars. The
+        # whole Arrow batch extends through one flat-array numpy kernel
+        # (_span_lens_batch); outputs equal the per-pair scalar loop.
+        enc_a = [(s or "").encode("utf-8") for s in ta]
+        enc_b = [(s or "").encode("utf-8") for s in tb]
+        best = _span_lens_batch(enc_a, enc_b, list(pas), list(pbs), k, min_len)
+        return pd.Series(best.astype(np.int32))
 
     return (
         h.withColumn("substr_len", span_len("t_a", "t_b", "pos_as", "pos_bs"))

@@ -1,0 +1,70 @@
+"""Parquet-fallback catalog semantics (S3/S4): empty-write handling and
+partition-layout integrity on append (ADVICE.md r3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hsip.catalog import Catalog
+
+
+def _pairs(spark, n, batch):
+    return spark.range(n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+        F.lit(batch).alias("batch_id"),
+    )
+
+
+def test_empty_partitioned_overwrite_truncates(spark, tmp_path):
+    """mode='overwrite' with an empty partitioned frame must TRUNCATE the
+    table (previous contents gone), not silently leave them in place."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write(_pairs(spark, 5, 0), "t.a", mode="overwrite",
+              partition_by=["batch_id"], meta={"gen": "1"})
+    assert cat.read("t.a").count() == 5
+
+    empty = _pairs(spark, 5, 0).filter(F.lit(False))
+    cat.write(empty, "t.a", mode="overwrite", partition_by=["batch_id"],
+              meta={"gen": "2"})
+    out = cat.read("t.a")
+    assert out.count() == 0
+    # schema survives through the manifest (no data files to carry it)
+    assert set(out.columns) == {"k", "v", "batch_id"}
+    assert cat.properties("t.a") == {"gen": "2"}
+
+
+def test_empty_partitioned_append_is_noop(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write(_pairs(spark, 3, 0), "t.b", mode="append", partition_by=["batch_id"])
+    empty = _pairs(spark, 3, 1).filter(F.lit(False))
+    cat.write(empty, "t.b", mode="append", partition_by=["batch_id"])
+    assert cat.read("t.b").count() == 3
+
+
+def test_append_after_empty_overwrite(spark, tmp_path):
+    """First real append onto a schema-only empty table materializes the
+    partitioned layout."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    empty = _pairs(spark, 1, 0).filter(F.lit(False))
+    cat.write(empty, "t.c", mode="overwrite", partition_by=["batch_id"])
+    assert cat.read("t.c").count() == 0
+    cat.write(_pairs(spark, 4, 0), "t.c", mode="append", partition_by=["batch_id"])
+    assert cat.read("t.c").count() == 4
+
+
+def test_append_layout_mismatch_fails_fast(spark, tmp_path):
+    """Appending with a different partition_by than the table's recorded
+    layout would produce a mixed root-files/key=value tree that Spark
+    partition discovery rejects — fail fast instead (ADVICE.md r3)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write(_pairs(spark, 3, 0), "t.d", mode="append", partition_by=["batch_id"])
+    with pytest.raises(ValueError, match="does not match"):
+        cat.write(_pairs(spark, 3, 1), "t.d", mode="append")  # flat onto partitioned
+    cat2 = Catalog(spark, str(tmp_path / "wh"))
+    cat2.write(_pairs(spark, 3, 0), "t.e", mode="append")  # flat table
+    with pytest.raises(ValueError, match="does not match"):
+        cat2.write(_pairs(spark, 3, 1), "t.e", mode="append",
+                   partition_by=["batch_id"])
+    # matching layout still appends fine
+    cat.write(_pairs(spark, 2, 1), "t.d", mode="append", partition_by=["batch_id"])
+    assert cat.read("t.d").count() == 5

@@ -212,3 +212,46 @@ def test_anchor_positions_deterministic(spark):
 
     a, b = anchors(7), anchors(3)
     assert a and a == b
+
+
+def test_span_batch_kernel_equals_scalar_loop():
+    """The vectorized cross-pair span kernel (_span_lens_batch) must
+    reproduce the scalar per-anchor loop (_extend_span + early break at
+    min_len) byte for byte, including the early-break-dependent reported
+    lengths (VERDICT.md r3 item 6)."""
+    import numpy as np
+
+    from hsip.suffixes import _extend_span, _span_lens_batch
+
+    rng = np.random.default_rng(11)
+    k, min_len = 8, 20
+    enc_a, enc_b, pas, pbs = [], [], [], []
+    alpha = np.frombuffer(b"abcd", np.uint8)
+    for _ in range(200):
+        n_a = int(rng.integers(0, 600))
+        n_b = int(rng.integers(0, 600))
+        a = alpha[rng.integers(0, 4, n_a)].tobytes()
+        b = alpha[rng.integers(0, 4, n_b)].tobytes()
+        if n_a > 40 and n_b > 40 and rng.random() < 0.7:
+            # plant a shared span so matches actually occur
+            ln = int(rng.integers(k, min(n_a, n_b)))
+            pa0 = int(rng.integers(0, n_a - ln + 1))
+            pb0 = int(rng.integers(0, n_b - ln + 1))
+            b = b[:pb0] + a[pa0:pa0 + ln] + b[pb0 + ln:]
+        n_anc = int(rng.integers(0, 5))
+        pa_l = [int(rng.integers(0, max(n_a, 1))) for _ in range(n_anc)]
+        pb_l = [int(rng.integers(0, max(n_b, 1))) for _ in range(n_anc)]
+        enc_a.append(a)
+        enc_b.append(b)
+        pas.append(pa_l)
+        pbs.append(pb_l)
+    got = _span_lens_batch(enc_a, enc_b, pas, pbs, k, min_len)
+    for i in range(len(enc_a)):
+        ba = np.frombuffer(enc_a[i], np.uint8)
+        bb = np.frombuffer(enc_b[i], np.uint8)
+        best = 0
+        for pa, pb in zip(pas[i], pbs[i]):
+            best = max(best, _extend_span(ba, bb, pa, pb, k))
+            if best >= min_len:
+                break
+        assert got[i] == best, (i, got[i], best)
