@@ -89,6 +89,8 @@ def run(spark, sf_dir: str) -> dict:
     )
     extras["doc_dedup_docs_per_sec"] = round(n_docs / timings["doc_dedup_3ch"], 1)
     extras["doc_dedup_n_clustered"] = res.verified.filter("verdict").count()
+    # per-stage walls of the LAST run (lazy stages fold into `verified`)
+    stages = {"doc_dedup_3ch": res.stats.get("stage_walls", {})}
 
     # 2. transcript pipeline (turns/sec is the headline unit, BASELINE.json:2)
     turns = spark.read.schema(schemas.TRANSCRIPTS).parquet(tpath)
@@ -100,6 +102,7 @@ def run(spark, sf_dir: str) -> dict:
     )
     extras["transcript_turns"] = n_turns
     extras["transcript_turns_per_sec"] = round(n_turns / timings["transcript_dedup"], 1)
+    stages["transcript_dedup"] = tres.stats.get("stage_walls", {})
     turns.unpersist()
 
     # 3. relational representatives
@@ -122,6 +125,7 @@ def run(spark, sf_dir: str) -> dict:
         "queries": timings,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "extras": extras,
+        "stages": stages,
         "raw_walls": raw_walls,
         "bench_runs_per_query": BENCH_RUNS,
         "cpus": CPUS,

@@ -100,6 +100,20 @@ _MODES = {
         f"local-cluster[1,1,{_WMEM}]", f"local-cluster[4,1,{_WMEM}]",
         "scaling_efficiency_1c_1_to_4_executors", "scaling_executors_1c_latest.json",
     ),
+    # WEAK scaling (VERDICT.md r3 item 1): fixed corpus-PER-EXECUTOR —
+    # the N level runs n_base, the 4N level runs 4*n_base, so each
+    # executor holds the same data at both rungs. This is the regime a
+    # real N -> 4N growth operates in (you add executors because the data
+    # grew; each executor's share, cache pressure, and task sizes stay
+    # constant) — the strong-scaling rungs instead concentrate the WHOLE
+    # corpus on one executor at N=1 (spill + 100% cache residency) and
+    # shrink per-task work at 4N, two artifacts a deployment never sees.
+    # Efficiency stays per-core-throughput ratio: tput_4N / (4 * tput_N),
+    # which equals wall_N / wall_4N when the corpus ratio is exactly 4x.
+    "weak1c": (
+        f"local-cluster[1,1,{_WMEM}]", f"local-cluster[4,1,{_WMEM}]",
+        "weak_scaling_efficiency_1c_1_to_4_executors", "scaling_weak_1c_latest.json",
+    ),
 }
 
 
@@ -115,30 +129,40 @@ def main():
     sys.path.insert(0, REPO)
     import bench
 
-    path = bench._transcripts_path()
+    # weak mode: corpus scales with executors (fixed data-per-executor);
+    # strong modes: one corpus for both levels
+    n_lo = args.n_base
+    n_hi = 4 * args.n_base if args.mode.startswith("weak") else args.n_base
+    bench.N_BASE = n_lo
+    paths = {m_lo: bench._transcripts_path()}
+    bench.N_BASE = n_hi
+    paths[m_hi] = bench._transcripts_path()
 
     # alternate levels and keep the BEST wall per level: the sandbox host
     # is shared (load avg 6-10 from other tenants with zero processes of
     # ours running), so min-of-N is the least-interfered measurement
     results = {}
     walls: dict[str, list] = {m_lo: [], m_hi: []}
-    turns = 0
+    turns_at: dict[str, int] = {}
     for _ in range(args.runs):
         for master in (m_lo, m_hi):
-            r = run_once(master, path)
+            r = run_once(master, paths[master])
             walls[master].append(r["wall_sec"])
-            turns = r["turns"]
+            turns_at[master] = r["turns"]
     for master, ws in walls.items():
         best = min(ws)
         results[master] = {
-            "turns": turns,
+            "turns": turns_at[master],
             "wall_sec": round(best, 1),
-            "turns_per_sec": round(turns / best, 1),
+            "turns_per_sec": round(turns_at[master] / best, 1),
             "all_walls": [round(w, 1) for w in ws],
         }
 
     t_lo = results[m_lo]["turns_per_sec"]
     t_hi = results[m_hi]["turns_per_sec"]
+    # per-core-throughput ratio: for strong modes (same corpus) this is
+    # the classic speedup/4; for weak mode (4x corpus at 4N) it equals
+    # wall_N / wall_4N when the corpus ratio is exactly 4x
     eff = round((t_hi / t_lo) / 4, 3)
     summary = {
         "metric": metric,
@@ -146,6 +170,7 @@ def main():
         "unit": "ratio",
         "levels": results,
         "n_base": args.n_base,
+        "n_base_hi": n_hi,
         # same per-executor memory at BOTH levels; the N=1 rung holds the
         # ENTIRE corpus's caches on one executor, so this must scale with
         # corpus-per-executor exactly as a real deployment would size it

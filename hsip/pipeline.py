@@ -170,15 +170,25 @@ def run_documents(
     )
     rec = Recorder(spark, catalog, run_id) if use_ckpt else None
 
+    stage_walls: dict[str, float] = {}
+
     def stage(name: str, build, reuse: bool = True):
+        # per-stage wall (driver-observed, includes materialization for
+        # eager stages; ~0 for lazy reuse=False stages whose execution
+        # folds into the downstream consumer). Surfaces in
+        # PipelineResult.stats["stage_walls"] -> BENCH_r{N}.json so a
+        # straggler hunt doesn't need the event log (VERDICT.md r3 item 9).
+        t0 = time.time()
         if ckpt:
             with StageTimer(rec, name):
                 out = ckpt.materialize(name, build)
             rec.lineage(name, out, fp)
-            return out
-        return _reused(build(), reuse, name)
+        else:
+            out = _reused(build(), reuse, name)
+        stage_walls[name] = round(time.time() - t0, 3)
+        return out
 
-    stats: dict = {}
+    stats: dict = {"stage_walls": stage_walls}
     need_mh = "minhash_lsh" in channels
     need_sh = "simhash" in channels
 

@@ -43,6 +43,63 @@ def test_write_dispatch_and_fingerprint_property():
     df2.writeTo.return_value.createOrReplace.assert_not_called()
 
 
+def test_partitioned_create_vs_append_dispatch(spark):
+    """The first two branches a real deployment hits (VERDICT.md r3 item
+    8): a fresh partitioned table must go through partitionedBy(identity
+    cols) + hsip.* tableProperties + createOrReplace; an append to an
+    existing table must call append() only — the partition spec and
+    properties belong to the table, not the write.
+
+    (needs the live ``spark`` fixture only because F.col() requires an
+    active SparkContext; the session under test is still the stub)"""
+    _, cat = _cat()
+    stub = cat.spark
+    stub.catalog.tableExists.return_value = False
+    df = mock.MagicMock()
+    cat.write(df, "index.bands", mode="append", partition_by=["batch_id"],
+              meta={"fingerprint": "f1", "gen": "2"})
+    w = df.writeTo.return_value
+    # identity partition transform on exactly the requested columns
+    w.partitionedBy.assert_called_once()
+    assert len(w.partitionedBy.call_args.args) == 1
+    # every meta key lands as an hsip.* table property (fingerprint
+    # round-trip for checkpoint invalidation); the writer API chains, so
+    # walk the mock chain node by node
+    node, props = w.partitionedBy.return_value, {}
+    while node.tableProperty.called:
+        c = node.tableProperty.call_args
+        props[c.args[0]] = c.args[1]
+        node = node.tableProperty.return_value
+    assert props == {"hsip.fingerprint": "f1", "hsip.gen": "2"}
+    node.createOrReplace.assert_called_once()
+    w.append.assert_not_called()
+
+    # table now exists: append() path, no re-partitioning / re-properties
+    stub.catalog.tableExists.return_value = True
+    df2 = mock.MagicMock()
+    cat.write(df2, "index.bands", mode="append", partition_by=["batch_id"],
+              meta={"fingerprint": "f1"})
+    w2 = df2.writeTo.return_value
+    w2.append.assert_called_once()
+    w2.partitionedBy.assert_not_called()
+    w2.tableProperty.assert_not_called()
+    w2.createOrReplace.assert_not_called()
+
+
+def test_overwrite_replaces_even_when_table_exists():
+    """mode='overwrite' on an EXISTING table must re-create (snapshot
+    replace), not append — resume overwrites stale checkpoints this way."""
+    spark, cat = _cat()
+    spark.catalog.tableExists.return_value = True
+    df = mock.MagicMock()
+    cat.write(df, "ckpt.runA.features", mode="overwrite",
+              meta={"fingerprint": "new"})
+    w = df.writeTo.return_value
+    w.append.assert_not_called()
+    w.tableProperty.assert_called_once_with("hsip.fingerprint", "new")
+    w.tableProperty.return_value.createOrReplace.assert_called_once()
+
+
 def _with_props(spark, props: dict):
     spark.sql.return_value.collect.return_value = list(props.items())
 
