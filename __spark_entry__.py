@@ -798,7 +798,24 @@ def sampled_orders(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _fresh(fn: Callable[[SparkSession, str], DataFrame]):
+    """Per-query cache hygiene for long sessions (VERDICT.md r3 item 5):
+    the driver runs the ~48 contract queries sequentially in ONE session
+    and collects each result before calling the next, so clearing the
+    SQL cache at query ENTRY releases the previous query's channel/
+    pipeline caches (bucket tables, result frames) without touching
+    anything in flight — storage memory stays bounded by one query
+    instead of growing monotonically across the run."""
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational (Q1-Q17)
         "q1_pricing_summary": q1_pricing_summary,
@@ -854,6 +871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_parts": approx_distinct_parts,
         "sampled_orders": sampled_orders,
     }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _fresh(fn) for name, fn in _raw_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -62,8 +62,14 @@ spark.stop()
 def run_once(master: str, path: str) -> dict:
     code = _RUNNER.format(repo=REPO, master=master, path=path)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+        [sys.executable, "-c", code], capture_output=True, text=True
     )
+    if out.returncode != 0:
+        # surface the child's failure (OOM aborts etc.) instead of a bare
+        # CalledProcessError with captured-and-dropped stderr
+        sys.stderr.write(f"--- run_once({master}) FAILED, stderr tail ---\n")
+        sys.stderr.write("\n".join(out.stderr.splitlines()[-40:]) + "\n")
+        raise RuntimeError(f"scaling run failed at {master}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

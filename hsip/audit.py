@@ -56,7 +56,7 @@ def channel_outputs(docs: DataFrame, id_col: str, text_col: str,
 
     fps = fingerprint_table(docs, id_col, text_col, cfg).cache()
     sub_pairs, _ = substr_candidates(fps, cfg)
-    vs = verify_substr(sub_pairs, docs, id_col, text_col, cfg)
+    vs = verify_substr(sub_pairs, docs, id_col, text_col, cfg, scratch=scratch)
     got_s = {(r.a, r.b) for r in vs.filter("verdict").collect()}
 
     for c in [feats, fps, *scratch]:

@@ -18,6 +18,7 @@ stage checkpoint write (or cache for ephemeral runs). Candidate channels:
 from __future__ import annotations
 
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -46,23 +47,6 @@ class PipelineResult:
     representatives: DataFrame
     run_id: str
     stats: dict = field(default_factory=dict)
-
-
-import logging
-import time
-
-_log = logging.getLogger("hsip.pipeline")
-
-
-def _ephemeral(df: DataFrame, name: str = "?") -> DataFrame:
-    # cache + materialize: stages are reused by multiple downstream joins
-    t0 = time.time()
-    df = df.cache()
-    df.sparkSession.sparkContext.setJobDescription(f"hsip:{name}")
-    n = df.count()
-    df.sparkSession.sparkContext.setJobDescription(None)
-    _log.info("stage %s: %d rows in %.2fs", name, n, time.time() - t0)
-    return df
 
 
 def _run_channels(spark: SparkSession, builders) -> list[DataFrame]:
@@ -320,7 +304,8 @@ def run_documents(
         sub_pairs = stage("substr_candidates", build_substr, reuse=False)
         return stage(
             "verify_substr",
-            lambda: verify_substr(sub_pairs, base, "id", "text", cfg),
+            lambda: verify_substr(sub_pairs, base, "id", "text", cfg,
+                                  scratch=scratch),
             reuse=False,
         )
 

@@ -381,11 +381,14 @@ def _span_lens_batch(enc_a: list[bytes], enc_b: list[bytes],
 
 
 def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
-                  cfg: DedupConfig) -> DataFrame:
+                  cfg: DedupConfig, scratch: list | None = None) -> DataFrame:
     """V4: exact span measurement for substring candidates.
 
     pairs must carry (a, b, pos_as, pos_bs). Output adds substr_len and
     verdict = (max span over anchors) >= min_substr_len.
+    ``scratch``: optional list the internal pair/text caches are appended
+    to so the caller can unpersist them once the verified output has
+    materialized (VERDICT.md r3 item 5).
     """
     k, min_len = cfg.substr_gram, cfg.min_substr_len
     # The normalized-text table is the fattest thing this stage touches
@@ -402,6 +405,8 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
     #      exchange total. Eager count: lazy cache + AQE recomputes the
     #      subtree per concurrent consumer (memory note).
     pairs = pairs.cache()
+    if scratch is not None:
+        scratch.append(pairs)
     pair_ids = (
         pairs.select(F.col("a").alias("id"))
         .unionByName(pairs.select(F.col("b").alias("id")))
@@ -417,6 +422,8 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
         .cache()
     )
     normed.count()
+    if scratch is not None:
+        scratch.append(normed)
     h = (
         pairs.join(normed, pairs["a"] == normed["id"]).drop("id")
         .withColumnRenamed("t", "t_a")

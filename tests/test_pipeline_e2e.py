@@ -128,6 +128,50 @@ def test_input_change_invalidates_checkpoint(spark, corpus, tmp_path_factory):
     assert ids == kept
 
 
+def test_input_fingerprint_full_row_sensitivity(spark):
+    """A SINGLE in-place text edit must flip the input fingerprint — the
+    round-3 version summed only a ~1/997 sampled subset of row hashes, so
+    ~99.8% of one-row edits resumed from stale checkpoints (ADVICE r3).
+    Now every row's (id, text) hash contributes to the sum."""
+    from hsip.checkpoint import input_fingerprint
+
+    base = spark.range(300).selectExpr(
+        "cast(id as string) as id", "concat('text-', id) as text"
+    ).cache()
+    fp0 = input_fingerprint(base)
+    for victim in ("7", "123", "299"):
+        edited = base.withColumn(
+            "text",
+            F.when(F.col("id") == victim, F.concat(F.col("text"), F.lit("!")))
+            .otherwise(F.col("text")),
+        )
+        assert input_fingerprint(edited) != fp0, f"edit to row {victim} undetected"
+    # order-insensitive: a reshuffle of identical content is the SAME input
+    assert input_fingerprint(base.orderBy(F.desc("id")).repartition(7)) == fp0
+    base.unpersist()
+
+
+def test_pipeline_releases_intermediate_caches(spark):
+    """Long-session hygiene (VERDICT.md r3 item 5): an ephemeral pipeline
+    run must leave ONLY its three result frames in the SQL cache — every
+    feature/band/bucket/base intermediate is unpersisted once `verified`
+    materializes, so sessions running many pipelines don't accrete
+    executor storage. (CC's localCheckpoint blocks live outside the
+    CacheManager and are reclaimed by the ContextCleaner.)"""
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta gamma delta {i % 7} " * 30) for i in range(40)],
+        "id string, text string",
+    )
+    spark.catalog.clearCache()
+    res = run_documents(spark, docs, "id", "text", DedupConfig())
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    for df in (res.verified, res.clusters, res.representatives):
+        df.unpersist()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "pipeline leaked non-result caches into the session"
+    )
+
+
 def test_resume_false_forces_recompute(spark, corpus, tmp_path_factory):
     """--resume off: matching checkpoints exist but every stage recomputes."""
     turns, _ = corpus
