@@ -346,6 +346,37 @@ def events_burst_pairs(spark, sf_dir):
     )
 
 
+def events_type_map_profile(spark, sf_dir):
+    """R10 map scalar functions, oracle-verified: build a per-user
+    map<event_type, count> with map_from_entries, read it back with
+    element_at / size / map_filter, and pull the JSON payload through a
+    map<string,int> (from_json + element_at). Map construction order is
+    irrelevant to the output (lookups are key-addressed), so the result
+    is deterministic and DuckDB reproduces it with conditional
+    aggregates — the map layer is pure derivation."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k_val", F.element_at(F.from_json("props", "map<string,int>"), "k")
+    )
+    per_ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("k_val").alias("ks")
+    )
+    agg = per_ut.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cnt"))).alias("m"),
+        F.sum("ks").alias("ksum"),
+    )
+    return agg.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0))
+        .cast("long").alias("clicks"),
+        F.coalesce(F.element_at("m", F.lit("error")), F.lit(0))
+        .cast("long").alias("errors"),
+        F.size(F.map_filter("m", lambda _, v: v >= 10))
+        .cast("long").alias("heavy_types"),
+        F.col("ksum").cast("long").alias("k_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # documents: normalization, dedup oracles, text analysis (R2-R3, G1, X2)
 # ---------------------------------------------------------------------------
@@ -840,6 +871,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": events_json_extract,
         "events_user_gaps": events_user_gaps,
         "events_burst_pairs": events_burst_pairs,
+        "events_type_map_profile": events_type_map_profile,
         # documents / text analysis / dedup oracles
         "dedup_exact_clusters": dedup_exact_clusters,
         "dedup_exact_pairs": dedup_exact_pairs,
@@ -1054,6 +1086,22 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts >= a.ts
              AND CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) <= 60
             GROUP BY a.user_id
+        """,
+        "events_type_map_profile": """
+            WITH per_ut AS (
+                SELECT user_id, event_type, COUNT(*) AS cnt,
+                       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS ks
+                FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(COALESCE(SUM(cnt) FILTER (event_type = 'click'), 0)
+                        AS BIGINT) AS clicks,
+                   CAST(COALESCE(SUM(cnt) FILTER (event_type = 'error'), 0)
+                        AS BIGINT) AS errors,
+                   CAST(COUNT(*) FILTER (cnt >= 10) AS BIGINT) AS heavy_types,
+                   CAST(SUM(ks) AS BIGINT) AS k_sum
+            FROM per_ut GROUP BY user_id
         """,
         "dedup_exact_clusters": f"""
             SELECT doc_id,

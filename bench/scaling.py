@@ -68,7 +68,7 @@ def run_once(master: str, path: str) -> dict:
         # surface the child's failure (OOM aborts etc.) instead of a bare
         # CalledProcessError with captured-and-dropped stderr
         sys.stderr.write(f"--- run_once({master}) FAILED, stderr tail ---\n")
-        sys.stderr.write("\n".join(out.stderr.splitlines()[-40:]) + "\n")
+        sys.stderr.write("\n".join(out.stderr.splitlines()[-150:]) + "\n")
         raise RuntimeError(f"scaling run failed at {master}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
