@@ -150,11 +150,17 @@ def main():
     results = {}
     walls: dict[str, list] = {m_lo: [], m_hi: []}
     turns_at: dict[str, int] = {}
-    for _ in range(args.runs):
+    for i in range(args.runs):
         for master in (m_lo, m_hi):
             r = run_once(master, paths[master])
             walls[master].append(r["wall_sec"])
             turns_at[master] = r["turns"]
+            # stream per-rung walls so a long ladder is observable mid-run
+            sys.stderr.write(
+                f"[scaling] run {i + 1}/{args.runs} {master}: "
+                f"{r['turns']} turns, {r['wall_sec']:.1f}s\n"
+            )
+            sys.stderr.flush()
     for master, ws in walls.items():
         best = min(ws)
         results[master] = {

@@ -40,6 +40,7 @@ def pairs_from_buckets(
     channel: str | None = "minhash_lsh",
     hot_policy: str = "star",
     salt_seed: int = 42,
+    payload_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Generic bucket -> candidate-pair expansion with hot-bucket control.
 
@@ -47,6 +48,18 @@ def pairs_from_buckets(
     metrics table (SURVEY.md S6; "no silent caps").
     Reused by every candidate channel (LSH bands, Hamming blocks,
     substring fingerprints): they all reduce to "same bucket key => pair".
+
+    ``payload_cols``: columns of ``bucketed`` carried through the
+    expansion into ``<col>_a`` / ``<col>_b`` on each pair. For
+    verification predicates that read a few bytes per doc (SimHash's
+    bit_count(xor) reads two int64s) this makes verify a PROJECTION of
+    the pair table instead of a double feature join — the candidate
+    channel whose pair count grows superlinearly on boilerplate-heavy
+    corpora then costs ~16 extra bytes/pair instead of a join chain
+    (event-log r4: 1.6M simhash candidates at 2.76M turns). Payloads
+    must be functionally dependent on ``id_col`` (same value on every
+    bucket row of a doc); every expansion path emits a < b, so payload
+    suffixes never swap.
 
     ``channel=None`` takes the channel from a ``channel`` COLUMN of the
     bucket table (which must then be part of ``bucket_cols``): several
@@ -88,6 +101,8 @@ def pairs_from_buckets(
     small_pairs = x.join(y, cond).select(
         F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"),
         s_chan.alias("channel"),
+        *[F.col(f"x.{p}").alias(f"{p}_a") for p in payload_cols],
+        *[F.col(f"y.{p}").alias(f"{p}_b") for p in payload_cols],
     )
 
     hot = tagged.filter(F.col("bsz") > cap)
@@ -110,25 +125,34 @@ def pairs_from_buckets(
         hot_pairs = hx.join(hy, hcond).select(
             F.col(f"hx.{id_col}").alias("a"), F.col(f"hy.{id_col}").alias("b"),
             h_chan.alias("channel"),
+            *[F.col(f"hx.{p}").alias(f"{p}_a") for p in payload_cols],
+            *[F.col(f"hy.{p}").alias(f"{p}_b") for p in payload_cols],
         )
     else:
         # star: connect every member to the bucket minimum — O(m) edges,
-        # the bucket stays one connected component in the pair graph
-        hot_min = hot.groupBy(*cols).agg(F.min(id_col).alias("a"))
+        # the bucket stays one connected component in the pair graph.
+        # min_by ties to the same min row the F.min picks, so payload_a
+        # is the hub's payload.
+        hot_min = hot.groupBy(*cols).agg(
+            F.min(id_col).alias("a"),
+            *[F.min_by(p, id_col).alias(f"{p}_a") for p in payload_cols],
+        )
         h_chan = F.col("channel") if channel is None else F.lit(channel)
         hot_pairs = (
             hot.join(hot_min, cols)
             .filter(F.col(id_col) != F.col("a"))
-            .select("a", F.col(id_col).alias("b"), h_chan.alias("channel"))
+            .select(
+                "a", F.col(id_col).alias("b"), h_chan.alias("channel"),
+                *[F.col(f"{p}_a") for p in payload_cols],
+                *[F.col(p).alias(f"{p}_b") for p in payload_cols],
+            )
         )
 
+    # every path emits a < b by construction (x.id < y.id join condition;
+    # star hub = bucket min), so no least/greatest normalization — it
+    # would have to swap payload suffixes too
     pairs = (
         small_pairs.unionByName(hot_pairs)
-        .select(
-            F.least("a", "b").alias("a"),
-            F.greatest("a", "b").alias("b"),
-            "channel",
-        )
         .dropDuplicates(["a", "b", "channel"])
     )
     hot_stats = hot.groupBy(*cols).agg(F.max("bsz").alias("bucket_size"))

@@ -243,11 +243,16 @@ def run_documents(
                 F.lit("minhash_lsh").alias("channel"), "id",
                 F.col("band_id").alias("bkt_id"),
                 F.col("band_hash").alias("bkt_hash"),
+                F.lit(None).cast("long").alias("simhash"),
             )
+            # simhash payload (8 B/row on the sh rows, null on mh rows)
+            # rides through the pair expansion so Hamming verification is
+            # a projection of the pair table — no join for the channel
+            # whose candidate count can go quadratic (verify.py r4 note)
             sh = hamming_block_table(simhashes, cfg).select(
                 F.lit("simhash").alias("channel"), "id",
                 F.col("table_id").alias("bkt_id"),
-                F.col("key_hash").alias("bkt_hash"),
+                F.col("key_hash").alias("bkt_hash"), "simhash",
             )
             # cache + eager count: pairs_from_buckets contract (sizes
             # groupBy and join-back both scan the bucket table)
@@ -262,6 +267,7 @@ def run_documents(
                 both, cfg.bucket_cap,
                 bucket_cols=("channel", "bkt_id", "bkt_hash"), channel=None,
                 hot_policy=cfg.hot_bucket_policy, salt_seed=cfg.seed,
+                payload_cols=("simhash",),
             )
             if rec:
                 for r in hot.groupBy("channel").count().collect():
@@ -274,7 +280,8 @@ def run_documents(
         cands = stage("candidates_mh_sh", build_cands, reuse=False)
         return stage(
             "verify_mh_sh",
-            lambda: V.verify_jaccard_hamming(cands, feats, cfg),
+            lambda: V.verify_jaccard_hamming(cands, feats, cfg,
+                                            scratch=scratch),
             reuse=False,
         )
 
@@ -284,7 +291,7 @@ def run_documents(
         scratch.append(fps)
 
         def build_substr():
-            pairs, hot = substr_candidates(fps, cfg)
+            pairs, hot = substr_candidates(fps, cfg, scratch=scratch)
             if rec:
                 # cache + eager count BEFORE the metric scans: without it
                 # the hot.count() + truncation filter re-execute the whole

@@ -130,7 +130,12 @@ def hamming_block_table(simhash_df: DataFrame, cfg: DedupConfig) -> DataFrame:
             for ci, combo in enumerate(itertools.combinations(range(B), k))
         ]
     )
-    return simhash_df.select("id", F.posexplode(keys).alias("table_id", "key_hash"))
+    # simhash rides along: 8 bytes/row lets pair expansion carry
+    # (simhash_a, simhash_b) into each candidate so Hamming verification
+    # is a projection, not a join (see pairs_from_buckets payload_cols)
+    return simhash_df.select(
+        "id", "simhash", F.posexplode(keys).alias("table_id", "key_hash")
+    )
 
 
 def simhash_candidates(simhash_df: DataFrame, cfg: DedupConfig,
@@ -155,6 +160,7 @@ def simhash_candidates(simhash_df: DataFrame, cfg: DedupConfig,
         cfg.bucket_cap,
         bucket_cols=("table_id", "key_hash"),
         channel="simhash",
+        payload_cols=("simhash",),
     )
 
 

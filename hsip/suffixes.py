@@ -190,20 +190,33 @@ def fingerprint_table(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfi
 
 
 def substr_candidates(
-    fp_df: DataFrame, cfg: DedupConfig
+    fp_df: DataFrame, cfg: DedupConfig, scratch: list | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Fingerprint table -> candidate pairs with match-anchor positions.
 
     Returns (pairs(a, b, pos_as, pos_bs, channel), hot_fp_stats). Hot
     fingerprints (> substr_bucket_cap docs — boilerplate) switch to star
     pairing against the min doc, logged to metrics.
+
+    ``scratch``: list the internal repartitioned-fingerprint cache is
+    appended to so the caller can unpersist it after pair materialization.
     """
     cap = cfg.substr_bucket_cap
-    fp = fp_df.repartition("fp_hash")
+    # The repartitioned fingerprint table feeds ~6 plan branches (sizes,
+    # join-back, small x/y self-join, hot, hot_min). A bare Exchange here
+    # canonicalizes identically for all of them, but AQE materializes
+    # query-stage futures CONCURRENTLY, so each branch recomputes it —
+    # event-log r4 at 2.76M turns: EIGHT copies of the 41.7M-row
+    # fingerprint exchange (4.1 GB written, 333M records re-read, 820 s
+    # of the hi rung's executor time). cache + eager count is the same
+    # contract pairs_from_buckets documents for its bucket table.
+    fp = fp_df.repartition("fp_hash").cache()
+    fp.count()
+    if scratch is not None:
+        scratch.append(fp)
     # (id, fp_hash) is unique (per-doc hash dedupe in fingerprint_table),
     # so the row count per fp_hash equals the distinct-doc bucket size.
-    # groupBy (map-side combine) + join-back, not a window — see lsh.py;
-    # fp_df is cached by the pipeline so the double scan is cache-served.
+    # groupBy (map-side combine) + join-back, not a window — see lsh.py.
     sizes = fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("bsz"))
     tagged = fp.join(sizes, "fp_hash")
 

@@ -16,16 +16,27 @@ from pyspark.sql import functions as F
 from .config import DedupConfig
 
 
-def hydrate(pairs: DataFrame, features: DataFrame, cols: list[str]) -> DataFrame:
+def hydrate(pairs: DataFrame, features: DataFrame, cols: list[str],
+            prune: bool = False) -> DataFrame:
     """V1: attach feature columns for both pair sides as <col>_a / <col>_b.
 
     Both joins scan the SAME projected feature subplan and only rename
-    columns AFTER each join: the two feature-side exchanges canonicalize
-    identically, so ReuseExchange ships the fat feature columns through
-    the shuffle ONCE instead of twice (event-log measured on the 554k-turn
-    corpus: 2x478 MB of shuffled shingle arrays collapsed to one — the
-    single largest multi-executor CPU cost in the verify phase)."""
+    columns AFTER each join, so the two feature-side exchanges
+    canonicalize identically and CAN collapse via ReuseExchange — but AQE
+    materializes query-stage futures concurrently, so in practice the fat
+    exchange still ships twice (event-log r4: 2 x 2.4 GB of shingle
+    arrays at 2.76M turns). ``prune=True`` bounds both shipments by the
+    PAIR-TOUCHED id set (left-semi against the pair ids) — the hydration
+    invariant that matters at 100 TB: feature bytes shuffled scale with
+    candidates, never with the corpus."""
     f = features.select("id", *cols)
+    if prune:
+        pair_ids = (
+            pairs.select(F.col("a").alias("id"))
+            .unionByName(pairs.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        f = f.join(pair_ids, "id", "left_semi")
     out = pairs.join(f, pairs["a"] == f["id"]).drop("id")
     for c in cols:
         out = out.withColumnRenamed(c, f"{c}_a")
@@ -44,7 +55,7 @@ def jaccard_col() -> F.Column:
 
 def verify_jaccard(pairs: DataFrame, shingles_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     """V2: exact Jaccard over shingle sets; keeps score for reporting."""
-    h = hydrate(pairs, shingles_df, ["shingles"])
+    h = hydrate(pairs, shingles_df, ["shingles"], prune=True)
     return (
         h.withColumn("jaccard", jaccard_col())
         .drop("shingles_a", "shingles_b")
@@ -53,8 +64,14 @@ def verify_jaccard(pairs: DataFrame, shingles_df: DataFrame, cfg: DedupConfig) -
 
 
 def verify_hamming(pairs: DataFrame, simhash_df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """V3: bit_count(xor) <= d over 64-bit SimHash fingerprints."""
-    h = hydrate(pairs, simhash_df, ["simhash"])
+    """V3: bit_count(xor) <= d over 64-bit SimHash fingerprints.
+
+    When the pair table already carries (simhash_a, simhash_b) — the
+    payload_cols path through pairs_from_buckets — the verdict is a pure
+    projection; otherwise hydrate the 16 B/doc slim table."""
+    h = pairs if "simhash_a" in pairs.columns else hydrate(
+        pairs, simhash_df, ["simhash"]
+    )
     return (
         h.withColumn(
             "hamming",
@@ -66,36 +83,77 @@ def verify_hamming(pairs: DataFrame, simhash_df: DataFrame, cfg: DedupConfig) ->
 
 
 def verify_jaccard_hamming(pairs: DataFrame, features: DataFrame,
-                           cfg: DedupConfig) -> DataFrame:
-    """V2+V3 fused: verify a MIXED candidate table (channel column says
-    which check applies) against ONE canonical feature subplan.
+                           cfg: DedupConfig,
+                           scratch: list | None = None) -> DataFrame:
+    """V2+V3, channel-aware verification: each channel's pairs touch ONLY
+    the feature bytes its check reads.
 
-    Why fused: hydrating the minhash and simhash channels separately
-    ships two feature-side exchanges (one fat with shingle arrays, one
-    thin) and runs two short join chains whose straggler waves serialize.
-    Here both channels' pairs hydrate (shingles, simhash) through the
-    SAME projected subplan — ReuseExchange ships the feature table once —
-    and each row evaluates only its own channel's predicate (the CASE
-    keeps array_intersect off simhash rows). Halves the verify-phase
-    stage count at any executor count (VERDICT.md r2 item 1).
+    The r3 design hydrated every pair with (shingles, simhash) through
+    one fat subplan and dispatched by CASE. The event-log decomposition
+    at 2.76M turns killed that: SimHash Hamming-block candidates grow
+    superlinearly on boilerplate-heavy corpora (112k -> 1.61M pairs for
+    4x docs while minhash/substr stayed exactly linear), and each pair
+    dragged ~24 KB of shingle arrays through TWO exchanges plus the
+    side-b re-shuffle of hydrated rows — 40 GB of the 45 GB verify-phase
+    shuffle was shingle arrays attached to pairs whose verdict reads two
+    8-byte integers. Split paths:
+
+      simhash rows -> (simhash_a, simhash_b) arrive IN the pair rows
+                      (payload_cols through pairs_from_buckets), so the
+                      verdict is a projection — zero joins for the
+                      channel whose candidate count can go quadratic;
+      minhash rows -> (shingles) hydration, pruned to pair-touched ids
+                      and cached once (AQE materializes both join sides
+                      concurrently, so an uncached pruned subtree would
+                      build twice): exact-Jaccard bytes scale with
+                      MINHASH pairs only, never with the corpus.
+
+    Verdicts/rows are identical to the fused plan (pinned by
+    tests/test_e2e_oracle.py and the fused-vs-separate equality test);
+    only the bytes-per-pair change. A pair caught by BOTH channels is two
+    input rows (a, b, channel) and stays two output rows, exactly as the
+    CASE dispatch produced.
     """
-    h = hydrate(pairs, features, ["shingles", "simhash"])
     is_mh = F.col("channel") == "minhash_lsh"
-    jac = F.when(is_mh, jaccard_col())
-    ham = F.when(
-        ~is_mh,
-        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("int"),
+    mh_pairs = pairs.filter(is_mh).drop("simhash_a", "simhash_b")
+    pair_ids = (
+        mh_pairs.select(F.col("a").alias("id"))
+        .unionByName(mh_pairs.select(F.col("b").alias("id")))
     )
-    return (
-        h.withColumn("jaccard", jac)
-        .withColumn("hamming", ham)
-        .drop("shingles_a", "shingles_b", "simhash_a", "simhash_b")
+    f = (
+        features.select("id", "shingles")
+        .join(pair_ids, "id", "left_semi")
+        .cache()
+    )
+    f.count()
+    if scratch is not None:
+        scratch.append(f)
+    mh = mh_pairs.join(f, mh_pairs["a"] == f["id"]).drop("id") \
+        .withColumnRenamed("shingles", "shingles_a")
+    fb = f.alias("fb")
+    mh = mh.join(fb, mh["b"] == fb["id"]).drop("id") \
+        .withColumnRenamed("shingles", "shingles_b")
+    mh = (
+        mh.withColumn("jaccard", jaccard_col())
+        .withColumn("hamming", F.lit(None).cast("int"))
+        .drop("shingles_a", "shingles_b")
+        .withColumn("verdict", F.col("jaccard") >= cfg.jaccard_threshold)
+    )
+    sh_src = pairs.filter(~is_mh)
+    if "simhash_a" not in pairs.columns:
+        # caller without payload pairs: fall back to the slim hydration
+        sh_src = hydrate(sh_src, features, ["simhash"])
+    sh = (
+        sh_src
+        .withColumn("jaccard", F.lit(None).cast("double"))
         .withColumn(
-            "verdict",
-            F.when(is_mh, F.col("jaccard") >= cfg.jaccard_threshold)
-            .otherwise(F.col("hamming") <= cfg.hamming_d),
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("int"),
         )
+        .drop("simhash_a", "simhash_b")
+        .withColumn("verdict", F.col("hamming") <= cfg.hamming_d)
     )
+    return mh.unionByName(sh.select(*mh.columns))
 
 
 def combine_verified(*verified: DataFrame) -> DataFrame:
