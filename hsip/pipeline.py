@@ -212,7 +212,8 @@ def run_documents(
         lsh_pairs = stage("lsh_candidates", build_lsh, reuse=False)
         return stage(
             "verify_jaccard",
-            lambda: V.verify_jaccard(lsh_pairs, shingles, cfg),
+            lambda: V.verify_jaccard(lsh_pairs, shingles, cfg,
+                                     scratch=scratch),
             reuse=False,
         )
 

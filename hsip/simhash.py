@@ -108,10 +108,15 @@ def hamming_block_table(simhash_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     block combination as a table key guarantees that two fingerprints
     within Hamming distance d share at least one table key (pigeonhole).
     Longer keys ((B-d) * 64/B bits vs 64/B for the naive scheme) make
-    random collisions vanish — with B=8, d=3 the key is 40 bits, so the
-    candidate count stays ~linear in corpus size instead of quadratic;
-    that is the difference between 10^4 and 10^10 candidate pairs at
-    ~10^6 documents.
+    RANDOM collisions vanish — with B=8, d=3 the key is 40 bits. That
+    does NOT bound collisions between genuinely Hamming-close documents:
+    on boilerplate-heavy corpora simhash bits concentrate, buckets fill
+    toward bucket_cap, and the candidate count grows superlinearly until
+    the cap's star-pairing regime linearizes it (measured r4: 112k -> 1.6M
+    candidates for 4x docs on the fixed-vocab fixture corpus). The
+    pipeline therefore keeps per-candidate cost at ~16 bytes by carrying
+    (simhash_a, simhash_b) in the pair rows — verification is a
+    projection, no joins (see pairs_from_buckets payload_cols).
     """
     import itertools
 

@@ -53,8 +53,15 @@ def jaccard_col() -> F.Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def verify_jaccard(pairs: DataFrame, shingles_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+def verify_jaccard(pairs: DataFrame, shingles_df: DataFrame, cfg: DedupConfig,
+                   scratch: list | None = None) -> DataFrame:
     """V2: exact Jaccard over shingle sets; keeps score for reporting."""
+    # pruning scans `pairs` three times (two id projections + the join) —
+    # materialize once so an uncached candidate chain isn't recomputed
+    # per scan (lazy-cache/AQE trap)
+    pairs = pairs.cache()
+    if scratch is not None:
+        scratch.append(pairs)
     h = hydrate(pairs, shingles_df, ["shingles"], prune=True)
     return (
         h.withColumn("jaccard", jaccard_col())
@@ -114,6 +121,14 @@ def verify_jaccard_hamming(pairs: DataFrame, features: DataFrame,
     input rows (a, b, channel) and stays two output rows, exactly as the
     CASE dispatch produced.
     """
+    # the pair table feeds four subplans (two channel filters + two
+    # pair-id scans for pruning); callers pass it UNCACHED in ephemeral
+    # runs, so materialize it once here — without this every scan re-runs
+    # the whole candidate expansion chain (the lazy-cache/AQE trap; same
+    # pattern as verify_substr)
+    pairs = pairs.cache()
+    if scratch is not None:
+        scratch.append(pairs)
     is_mh = F.col("channel") == "minhash_lsh"
     mh_pairs = pairs.filter(is_mh).drop("simhash_a", "simhash_b")
     pair_ids = (

@@ -138,3 +138,31 @@ def test_unified_channel_pairs_equal_separate(spark):
     )
     uni = {(r.a, r.b, r.channel) for r in uni_pairs.collect()}
     assert uni == sep and uni, uni ^ sep
+
+
+def test_payload_passthrough_small_star_salt(spark):
+    """payload_cols carries per-doc values into <col>_a/<col>_b on every
+    expansion path, with the star hub's payload on the _a side and no
+    suffix swap anywhere (all paths emit a < b)."""
+    # small bucket (size 3 <= cap) + hot bucket (size 8 > cap)
+    rows = [(f"s{i}", 0, 1, 100 + i) for i in range(3)]
+    rows += [(f"h{i}", 0, 7, 200 + i) for i in range(8)]
+    df = spark.createDataFrame(rows, "id string, band_id int, band_hash long, pv long")
+    pairs, hot = pairs_from_buckets(df, cap=5, payload_cols=("pv",))
+    got = {(r.a, r.b): (r.pv_a, r.pv_b) for r in pairs.collect()}
+    pv = {r[0]: r[3] for r in rows}
+    assert hot.count() == 1
+    # small: all-pairs; star: hub = min id "h0" with its own payload
+    assert set(got) == (
+        {("s0", "s1"), ("s0", "s2"), ("s1", "s2")}
+        | {("h0", f"h{i}") for i in range(1, 8)}
+    )
+    for (a, b), (pa, pb) in got.items():
+        assert (pa, pb) == (pv[a], pv[b]), (a, b, pa, pb)
+
+    # salt policy: payloads still aligned within sub-buckets
+    pairs_s, _ = pairs_from_buckets(
+        df, cap=5, hot_policy="salt", payload_cols=("pv",)
+    )
+    for r in pairs_s.collect():
+        assert (r.pv_a, r.pv_b) == (pv[r.a], pv[r.b]), r
