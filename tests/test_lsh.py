@@ -166,3 +166,38 @@ def test_payload_passthrough_small_star_salt(spark):
     )
     for r in pairs_s.collect():
         assert (r.pv_a, r.pv_b) == (pv[r.a], pv[r.b]), r
+
+
+def test_verify_jaccard_hamming_payload_and_fallback(spark):
+    """Channel-aware verify: pairs WITH (simhash_a, simhash_b) payload
+    take the projection path; pairs without fall back to slim hydration.
+    Both must produce identical rows."""
+    from hsip.config import DedupConfig
+    from hsip.verify import verify_jaccard_hamming
+
+    cfg = DedupConfig(jaccard_threshold=0.5, hamming_d=3)
+    feats = spark.createDataFrame(
+        [("a", [1, 2, 3, 4], 0b0000), ("b", [1, 2, 3, 9], 0b0001),
+         ("c", [7, 8], 0b111111)],
+        "id string, shingles array<long>, simhash long",
+    )
+    sims = {"a": 0b0000, "b": 0b0001, "c": 0b111111}
+    base = [("a", "b", "minhash_lsh"), ("a", "b", "simhash"),
+            ("a", "c", "simhash")]
+    plain = spark.createDataFrame(base, "a string, b string, channel string")
+    payload = spark.createDataFrame(
+        [(a, b, ch,
+          sims[a] if ch == "simhash" else None,
+          sims[b] if ch == "simhash" else None) for a, b, ch in base],
+        "a string, b string, channel string, simhash_a long, simhash_b long",
+    )
+    cols = ["a", "b", "channel", "jaccard", "hamming", "verdict"]
+    got_p = {tuple(r) for r in
+             verify_jaccard_hamming(payload, feats, cfg).select(*cols).collect()}
+    got_f = {tuple(r) for r in
+             verify_jaccard_hamming(plain, feats, cfg).select(*cols).collect()}
+    assert got_p == got_f
+    by_key = {(a, b, ch): (j, h, v) for a, b, ch, j, h, v in got_p}
+    assert by_key[("a", "b", "minhash_lsh")] == (0.6, None, True)
+    assert by_key[("a", "b", "simhash")] == (None, 1, True)
+    assert by_key[("a", "c", "simhash")] == (None, 6, False)
