@@ -702,6 +702,60 @@ def image_feature_extraction(spark, sf_dir):
     return extract_image_features(synthetic_media(spark, n=128))
 
 
+def audio_feature_extraction(spark, sf_dir):
+    """Multimodal audio plumbing: typed sample_rate metadata parsed
+    JVM-side, stub decode, real RMS/peak/zero-crossing math (rows-only:
+    features derive from the sha256-seeded stub decoder — no SQL oracle
+    can reproduce them)."""
+    from hsip.multimodal import extract_audio_features, synthetic_media
+
+    return extract_audio_features(synthetic_media(spark, n=128))
+
+
+def image_phash_near_dups(spark, sf_dir):
+    """Image near-dup pairs by perceptual-hash Hamming distance, reusing
+    the transcript pipeline's multi-table Hamming blocking + projection
+    verify. Duplicate payloads are planted by re-ingesting every 8th
+    image under a new media_id (rows-only: phash values come from the
+    stub decoder's sha256-seeded pixels)."""
+    from hsip.multimodal import (
+        extract_image_features, phash_near_dup_pairs, synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=96)
+    images = media.filter("kind = 'image'")
+    dups = (
+        images.withColumn("rn", F.xxhash64("media_id") % 8)
+        .filter("rn = 0")
+        .drop("rn")
+        .withColumn("media_id", F.concat(F.lit("copy-"), "media_id"))
+    )
+    feats = extract_image_features(images.unionByName(dups))
+    return phash_near_dup_pairs(feats, max_hamming=3).orderBy("media_a", "media_b")
+
+
+def video_frame_samples(spark, sf_dir):
+    """Metadata-driven video frame-sampling plan (pure SQL: sequence +
+    posexplode — zero Python). Frame metadata is derived deterministically
+    from ``documents`` so DuckDB can replay the identical plan as its
+    generate-series oracle."""
+    from hsip.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.length("text") % 991 + 10).cast("int").alias("n_frames"),
+        F.lit(24.0).alias("fps"),
+    )
+    plan = frame_sample_plan(meta, every_n=25)
+    return plan.select(
+        "media_id",
+        F.col("sample_idx").cast("int").alias("sample_idx"),
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "ts_sec",
+    )
+
+
 def doc_minhash_signatures(spark, sf_dir):
     """Signature-shape invariant, SQL-oracled: every doc (including empty
     text — densification fills all coordinates) carries exactly num_perm
@@ -884,6 +938,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_e2e_clusters": minhash_e2e_clusters,
         "substr_pairs": substr_pairs,
         "doc_chunks": doc_chunks,
+        "video_frame_samples": video_frame_samples,
         # embeddings / similarity search
         "embedding_topk_neighbors": embedding_topk_neighbors,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -894,6 +949,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": lang_id_heuristic,
         "ann_rhp_lsh_topk": ann_rhp_lsh_topk,
         "image_feature_extraction": image_feature_extraction,
+        "audio_feature_extraction": audio_feature_extraction,
+        "image_phash_near_dups": image_phash_near_dups,
         "doc_minhash_signatures": doc_minhash_signatures,
         "minhash_lsh_clusters": minhash_lsh_clusters,
         "simhash_hamming_pairs": simhash_hamming_pairs,
@@ -1198,6 +1255,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 40])
                         AS INT) AS n_chunk_tokens
             FROM e
+        """,
+        # metadata-driven frame-sampling plan: frame geometry derives
+        # deterministically from documents so both engines replay the
+        # same plan; sample_idx == frame_idx // step because the sampled
+        # sequence starts at 0 with constant step
+        "video_frame_samples": """
+            WITH meta AS (
+                SELECT doc_id AS media_id,
+                       CAST(length(text) % 991 + 10 AS INT) AS n_frames
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(f.frame_idx // 25 AS INT) AS sample_idx,
+                   CAST(f.frame_idx AS INT) AS frame_idx,
+                   f.frame_idx / 24.0 AS ts_sec
+            FROM meta, UNNEST(range(0, n_frames, 25)) AS f(frame_idx)
         """,
         # brute-force Jaccard>=0.7 pair graph + recursive-CTE reachability
         # closure == the pipeline's LSH(r=1,cap-free)+verify+CC output.

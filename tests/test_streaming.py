@@ -204,3 +204,61 @@ def test_stream_guard_scan_bounded_by_delta_buckets(spark, tmp_path):
     scan = plan[plan.index("Scan parquet"):]
     pf = [ln for ln in scan.splitlines() if "PartitionFilters" in ln]
     assert pf and "pair_bucket" in pf[0]
+
+
+def test_stateful_reassemble_emits_on_idle_timeout(spark, tmp_path):
+    """applyInPandasWithState conversation reassembly: turns of one
+    conversation split across micro-batches are buffered in group state
+    and emitted as ONE reassembled row once the event-time watermark
+    passes the conversation's idle horizon; late turn-version re-writes
+    within the horizon are C1-deduped to the latest ts."""
+    from hsip.streaming import stateful_reassemble, stream_turns
+
+    inp = tmp_path / "in_state"
+    inp.mkdir()
+    t0 = datetime(2025, 6, 1, 12, 0)
+
+    # file 1: first half of c1 (+ a version of turn 0 that will be
+    # superseded), file 2: second half of c1, file 3: a far-future
+    # sentinel conv that pushes the watermark past c1's idle horizon
+    _write_wave(str(inp / "f1.parquet"), {"c1": ["OLD turn0", "turn1"]}, t0)
+    rows = [
+        ("c1", 0, "user", "NEW turn0", "", t0 + timedelta(seconds=30)),
+        ("c1", 2, "user", "turn2", "", t0 + timedelta(seconds=40)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(inp / "f2.parquet"), index=False)
+    _write_wave(str(inp / "f3.parquet"), {"sentinel": ["tick"]},
+                t0 + timedelta(hours=6))
+
+    stream = (
+        spark.readStream.schema(
+            stream_turns(spark, str(inp)).schema
+        ).option("maxFilesPerTrigger", 1).parquet(str(inp))
+    )
+    out = stateful_reassemble(stream, idle_gap_s=60, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("reassembled")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.conv_id: r for r in spark.sql("SELECT * FROM reassembled").collect()}
+    assert "c1" in got, f"c1 not emitted; got {list(got)}"
+    c1 = got["c1"]
+    assert c1.n_turns == 3
+    # C1 dedupe kept the later version of turn 0; C2 order by turn_idx
+    assert c1.doc_text == "NEW turn0\nturn1\nturn2"
+    # earliest KEPT ts is turn1's (OLD turn0's ts left with its version)
+    assert c1.first_ts == t0 + timedelta(seconds=1)
+    assert c1.last_ts == t0 + timedelta(seconds=40)
+    # the sentinel conversation is still buffered in state (never idle
+    # long enough before the stream drained) — append mode emitted nothing
+    assert "sentinel" not in got
