@@ -856,6 +856,50 @@ def transcript_turn_equality_audit(spark, sf_dir):
     )
 
 
+def transcript_reassembly_roundtrip(spark, sf_dir):
+    """C1+C2 oracle-verified over SHARED data: synthesize turns from the
+    documents table (30-token chunks -> (conv_id, turn_idx, role, text,
+    tool, ts)), inject stale turn-0 re-writes with older ts, dedupe to
+    the latest version (C1), reassemble under stable (conv_id, turn_idx)
+    ordering (C2), and emit md5(doc_text) — which DuckDB reproduces with
+    row_number + an ORDER BY string_agg. Upgrades the reassembly
+    invariant from rows-only (synthetic in-process corpus) to
+    value-hash-verified on the driver's shared parquet."""
+    from hsip.chunking import chunk_docs
+    from hsip.normalize import tokens_col
+    from hsip.reassemble import dedupe_turn_versions, reassemble
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_docs(
+        docs, "doc_id", tokens_col(_norm(F.col("text"))), chunk_size=30, overlap=0
+    )
+    turns = chunks.select(
+        F.col("id").alias("conv_id"),
+        F.col("chunk_idx").alias("turn_idx"),
+        F.when(F.pmod("chunk_idx", F.lit(2)) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("chunk_text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.col("chunk_idx")).alias("ts"),
+    )
+    # late-arriving STALE re-write of turn 0 with strictly older ts: C1
+    # must drop it (no ts ties, so the xxhash64 tie-break never fires and
+    # the DuckDB oracle needs no engine-specific hash)
+    stale = turns.filter(F.col("turn_idx") == 0).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.concat(F.lit("STALE::"), F.col("text")).alias("text"),
+        "tool",
+        F.timestamp_seconds(F.lit(-1000)).alias("ts"),
+    )
+    deduped = dedupe_turn_versions(turns.unionByName(stale))
+    return reassemble(deduped).select(
+        "conv_id", "n_turns", F.md5("doc_text").alias("doc_md5")
+    )
+
+
 def transcript_dedup_clusters(spark, sf_dir):
     """Full transcript pipeline on the seeded synthetic corpus (S7)."""
     from hsip.config import DedupConfig
@@ -956,6 +1000,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_pairs": simhash_hamming_pairs,
         "substr_duplicate_spans": substr_duplicate_spans,
         "transcript_dedup_clusters": transcript_dedup_clusters,
+        "transcript_reassembly_roundtrip": transcript_reassembly_roundtrip,
         "transcript_turn_equality_audit": transcript_turn_equality_audit,
         "approx_distinct_parts": approx_distinct_parts,
         "sampled_orders": sampled_orders,
@@ -1255,6 +1300,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 40])
                         AS INT) AS n_chunk_tokens
             FROM e
+        """,
+        # C1+C2 reassembly round-trip: same 30-token chunk grid as
+        # doc_chunks (overlap 0), stale turn-0 re-writes dropped by
+        # latest-ts row_number, conversations rebuilt with an ordered
+        # string_agg — value-hash match pins the reassembly invariant
+        "transcript_reassembly_roundtrip": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split({norm_text}, ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) = 0 THEN 0
+                            WHEN len(toks) <= 30 THEN 1
+                            ELSE CAST(ceil(len(toks) / 30.0) AS INT)
+                       END AS nc
+                FROM t
+            ),
+            e AS (
+                SELECT doc_id, toks, unnest(range(0, nc)) AS turn_idx
+                FROM n
+            ),
+            turns AS (
+                SELECT doc_id AS conv_id, turn_idx,
+                       array_to_string(
+                           toks[turn_idx * 30 + 1 : turn_idx * 30 + 30], ' '
+                       ) AS text,
+                       to_timestamp(turn_idx) AS ts
+                FROM e
+            ),
+            with_stale AS (
+                SELECT conv_id, turn_idx, text, ts FROM turns
+                UNION ALL
+                SELECT conv_id, turn_idx, 'STALE::' || text,
+                       to_timestamp(-1000)
+                FROM turns WHERE turn_idx = 0
+            ),
+            dedup AS (
+                SELECT conv_id, turn_idx, text FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx ORDER BY ts DESC
+                    ) AS rn
+                    FROM with_stale
+                ) WHERE rn = 1
+            )
+            SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+                   md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS doc_md5
+            FROM dedup
+            GROUP BY conv_id
         """,
         # metadata-driven frame-sampling plan: frame geometry derives
         # deterministically from documents so both engines replay the
