@@ -46,16 +46,23 @@ def incremental_candidates(
     index_bands: DataFrame,
     cfg: DedupConfig,
     new_bands: DataFrame | None = None,
+    scratch: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs touching at least one NEW document.
 
     Returns (pairs(a, b, channel), hot_bucket_stats); pairs carry the
     new doc on at least one side, a < b canonical. Pass ``new_bands``
     when the caller already built (and cached) the delta band table.
+    ``scratch``: optional list the internal caches (delta band table,
+    semi-joined index slice) are appended to so the caller can unpersist
+    after materializing results — same lifecycle contract as
+    lsh_candidates/verify_substr.
     """
     if new_bands is None:
         new_bands = band_table(new_feats.select("id", "sig"), cfg).cache()
         new_bands.count()  # pairs_from_buckets contract: cached input
+        if scratch is not None:
+            scratch.append(new_bands)
 
     # new x new within the delta: same capped expansion as the batch path
     nn, nn_hot = pairs_from_buckets(
@@ -70,6 +77,8 @@ def incremental_candidates(
     delta_keys = new_bands.select(*_BKEYS).distinct()
     idx_hit = index_bands.join(delta_keys, list(_BKEYS), "left_semi").cache()
     idx_hit.count()
+    if scratch is not None:
+        scratch.append(idx_hit)
 
     sizes = idx_hit.groupBy(*_BKEYS).agg(F.count(F.lit(1)).alias("bsz"))
     tagged = idx_hit.join(sizes, list(_BKEYS))
@@ -130,16 +139,19 @@ def incremental_verified_pairs(
     new_feats: DataFrame | None = None,
     new_bands: DataFrame | None = None,
     recorder=None,
+    scratch: list | None = None,
 ) -> DataFrame:
     """Full incremental slice: featurize the delta, generate delta-touching
     candidates, verify exact Jaccard against the union feature table.
     Pass ``new_feats``/``new_bands`` when the caller already built them;
     ``recorder`` (hsip.metrics.Recorder) receives hot-bucket truncation
-    counts."""
+    counts; ``scratch`` collects internal caches for caller unpersist."""
     if new_feats is None:
         new_feats = featurize(new_docs, id_col, text_col, cfg).cache()
+        if scratch is not None:
+            scratch.append(new_feats)
     pairs, hot_stats = incremental_candidates(
-        new_feats, index_bands, cfg, new_bands=new_bands
+        new_feats, index_bands, cfg, new_bands=new_bands, scratch=scratch
     )
     if recorder is not None:
         recorder.metric(

@@ -3,11 +3,13 @@ with typed metadata, processed through Arrow-batched mapInPandas.
 
 The Spark-side contract is real and tested — schemas, partition-size
 control, UDF signatures, batch iteration, metadata-driven frame sampling,
-and phash near-dup clustering reusing the Hamming blocking core. Only the
-codec byte-decode itself is stubbed behind import-tries because this
-container ships no image/audio libraries (FIXTURES.md); on a real cluster,
-installing Pillow / soundfile / av makes the marked functions real without
-touching any Spark plumbing.
+and phash near-dup clustering reusing the Hamming blocking core. Image
+and audio decode dispatch on library availability at worker import time:
+with Pillow / soundfile installed (a real cluster) the _decode_*_real
+branches run — exercised in tests by monkeypatching fake codec modules —
+and without them (this container, FIXTURES.md) deterministic stub
+decoders keep the rest of the path testable. Only video frame decode
+(av/ffmpeg) remains a hard NotImplementedError.
 """
 
 from __future__ import annotations
@@ -66,17 +68,19 @@ AUDIO_META_SCHEMA = T.StructType(
 )
 
 try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
+    from PIL import Image
 
     _HAVE_PIL = True
 except Exception:
+    Image = None
     _HAVE_PIL = False
 
 try:  # pragma: no cover - not present in this container
-    import soundfile  # noqa: F401
+    import soundfile
 
     _HAVE_SOUNDFILE = True
 except Exception:
+    soundfile = None
     _HAVE_SOUNDFILE = False
 
 try:  # pragma: no cover - not present in this container
@@ -93,8 +97,8 @@ except Exception:
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB decode: deterministic fake pixels derived from the payload
-    hash. Replace with PIL/turbojpeg on a real cluster (_HAVE_PIL path).
-    Raises on empty payload like a real decoder would."""
+    hash — used only when PIL is absent (this container). Raises on
+    empty payload like a real decoder would."""
     if not payload:
         raise ValueError("empty payload")
     h = hashlib.sha256(payload).digest()
@@ -104,11 +108,34 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, ht, gen.integers(0, 256, size=(ht, w), dtype=np.uint8)
 
 
+def _decode_image_real(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real decode via PIL: bytes -> (width, height, grayscale uint8).
+    Selected automatically when Pillow is importable (real cluster);
+    unit-tested by monkeypatching a fake ``Image`` module, so the branch
+    is exercised without shipping codecs in this container."""
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    gray = np.asarray(img.convert("L"), dtype=np.uint8)
+    if gray.ndim != 2 or gray.size == 0:
+        raise ValueError(f"bad decode shape {gray.shape}")
+    ht, w = gray.shape
+    return w, ht, gray
+
+
 def _phash64(gray: np.ndarray) -> int:
     """Average-hash style perceptual hash over an 8x8 downsample —
     real math (works on stub or real pixels alike). Vectorized: both
-    axis reductions are one np.add.reduceat pass (no Python cell loop)."""
+    axis reductions are one np.add.reduceat pass (no Python cell loop).
+    Images narrower than 8px on either axis are nearest-neighbor
+    upsampled first — np.linspace over a <8 extent would emit duplicate
+    reduceat offsets (empty segments, zero cell areas)."""
     hh, ww = gray.shape
+    if hh < 8 or ww < 8:
+        ry = np.linspace(0, hh - 1, max(hh, 8)).round().astype(int)
+        rx = np.linspace(0, ww - 1, max(ww, 8)).round().astype(int)
+        gray = gray[np.ix_(ry, rx)]
+        hh, ww = gray.shape
     ys = np.linspace(0, hh, 9).astype(int)
     xs = np.linspace(0, ww, 9).astype(int)
     sums = np.add.reduceat(
@@ -118,6 +145,33 @@ def _phash64(gray: np.ndarray) -> int:
     cells = sums / areas
     bits = (cells > cells.mean()).flatten()
     return int(np.packbits(bits).view(">u8")[0].astype(np.int64))
+
+
+def _image_feature_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One Arrow batch -> feature rows. The decoder is chosen OUTSIDE the
+    per-row try (real PIL when importable, stub otherwise), so installing
+    codecs upgrades the path rather than silently zeroing it; per-row
+    failures (truncated/corrupt bytes) degrade to ok=False as a real
+    ingest must."""
+    decode = _decode_image_real if _HAVE_PIL else _decode_image_stub
+    rows = []
+    for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+        try:
+            w, h, gray = decode(payload)
+            rows.append((mid, w, h, _phash64(gray), True))
+        except Exception:
+            rows.append((mid, None, None, None, False))
+    # construct via object dtype, then nullable Int64: the default
+    # constructor coerces an int column containing any None to float64,
+    # silently corrupting the low bits of every GOOD row's 64-bit hash
+    # whenever one row in the batch fails to decode
+    out = pd.DataFrame(
+        rows, columns=["media_id", "width", "height", "phash", "ok"],
+        dtype=object,
+    )
+    return out.astype(
+        {"width": "Int32", "height": "Int32", "phash": "Int64", "ok": "bool"}
+    )
 
 
 def extract_image_features(media: DataFrame, partition_target_mb: int = 64) -> DataFrame:
@@ -131,21 +185,7 @@ def extract_image_features(media: DataFrame, partition_target_mb: int = 64) -> D
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    if _HAVE_PIL:  # pragma: no cover
-                        raise NotImplementedError(
-                            "real decode path: PIL present but wiring "
-                            "reserved for cluster deployment"
-                        )
-                    w, h, gray = _decode_image_stub(payload)
-                    rows.append((mid, w, h, _phash64(gray), True))
-                except Exception:
-                    rows.append((mid, None, None, None, False))
-            yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "phash", "ok"]
-            )
+            yield _image_feature_rows(pdf)
 
     return media.filter(F.col("kind") == "image").select(
         "media_id", "payload"
@@ -167,7 +207,7 @@ def phash_near_dup_pairs(feats: DataFrame, max_hamming: int = 3,
     from hsip.simhash import simhash_candidates
     from hsip.verify import verify_hamming
 
-    cfg = DedupConfig(hamming_d=max_hamming)
+    cfg = DedupConfig(hamming_d=max_hamming, bucket_cap=bucket_cap)
     sim = feats.filter(F.col("ok") & F.col("phash").isNotNull()).select(
         F.col("media_id").alias("id"), F.col("phash").alias("simhash")
     )
@@ -183,16 +223,66 @@ def phash_near_dup_pairs(feats: DataFrame, max_hamming: int = 3,
 # audio
 # ---------------------------------------------------------------------------
 
-def _decode_audio_stub(payload: bytes, sample_rate: int) -> np.ndarray:
+def _decode_audio_stub(payload: bytes, sample_rate: int) -> tuple[np.ndarray, int]:
     """STUB decode: deterministic fake PCM derived from the payload hash
-    (length proportional to payload size, like a fixed-bitrate codec).
-    Replace with soundfile/librosa on a real cluster (_HAVE_SOUNDFILE)."""
+    (length proportional to payload size, like a fixed-bitrate codec) —
+    used only when soundfile is absent (this container)."""
     if not payload:
         raise ValueError("empty payload")
     h = hashlib.sha256(payload).digest()
     n = max(sample_rate // 8, len(payload) * 4)
     gen = np.random.default_rng(int.from_bytes(h[8:16], "little"))
-    return gen.standard_normal(n).astype(np.float32) * 0.25
+    return gen.standard_normal(n).astype(np.float32) * 0.25, sample_rate
+
+
+def _decode_audio_real(payload: bytes, sample_rate: int) -> tuple[np.ndarray, int]:
+    """Real decode via soundfile: bytes -> (mono float32 PCM, true rate).
+    The container's sample_rate metadata is a hint; the codec's own rate
+    wins. Channels are mean-downmixed to mono in one vectorized pass.
+    Unit-tested by monkeypatching a fake ``soundfile`` module."""
+    import io
+
+    pcm, sr = soundfile.read(io.BytesIO(payload), dtype="float32")
+    pcm = np.asarray(pcm, dtype=np.float32)
+    if pcm.ndim == 2:
+        pcm = pcm.mean(axis=1)
+    if pcm.size == 0:
+        raise ValueError("empty decode")
+    return pcm, int(sr)
+
+
+def _audio_feature_rows(pdf: pd.DataFrame, window: int = 1024) -> pd.DataFrame:
+    """One Arrow batch -> audio feature rows; decoder chosen OUTSIDE the
+    per-row try (see _image_feature_rows for the rationale)."""
+    decode = _decode_audio_real if _HAVE_SOUNDFILE else _decode_audio_stub
+    rows = []
+    for mid, payload, sr in zip(
+        pdf["media_id"], pdf["payload"], pdf["sample_rate"]
+    ):
+        try:
+            sr = int(sr) if sr and sr > 0 else 16000
+            pcm, sr = decode(payload, sr)
+            n_win = len(pcm) // window
+            rms = float(np.sqrt(np.mean(pcm**2)))
+            peak = float(np.max(np.abs(pcm)))
+            zc = float(np.mean(np.diff(np.signbit(pcm)) != 0))
+            rows.append((mid, len(pcm) / sr, rms, peak, zc, n_win, True))
+        except Exception:
+            rows.append((mid, None, None, None, None, None, False))
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "media_id", "duration_s", "rms", "peak",
+            "zero_cross_rate", "n_windows", "ok",
+        ],
+        dtype=object,
+    )
+    return out.astype(
+        {
+            "duration_s": "Float64", "rms": "Float64", "peak": "Float64",
+            "zero_cross_rate": "Float64", "n_windows": "Int32", "ok": "bool",
+        }
+    )
 
 
 def extract_audio_features(media: DataFrame, window: int = 1024) -> DataFrame:
@@ -206,34 +296,7 @@ def extract_audio_features(media: DataFrame, window: int = 1024) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, payload, sr in zip(
-                pdf["media_id"], pdf["payload"], pdf["sample_rate"]
-            ):
-                try:
-                    if _HAVE_SOUNDFILE:  # pragma: no cover
-                        raise NotImplementedError(
-                            "real decode path: soundfile present but wiring "
-                            "reserved for cluster deployment"
-                        )
-                    sr = int(sr) if sr and sr > 0 else 16000
-                    pcm = _decode_audio_stub(payload, sr)
-                    n_win = len(pcm) // window
-                    rms = float(np.sqrt(np.mean(pcm**2)))
-                    peak = float(np.max(np.abs(pcm)))
-                    zc = float(np.mean(np.diff(np.signbit(pcm)) != 0))
-                    rows.append(
-                        (mid, len(pcm) / sr, rms, peak, zc, n_win, True)
-                    )
-                except Exception:
-                    rows.append((mid, None, None, None, None, None, False))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "duration_s", "rms", "peak",
-                    "zero_cross_rate", "n_windows", "ok",
-                ],
-            )
+            yield _audio_feature_rows(pdf, window)
 
     src = (
         media.filter(F.col("kind") == "audio")

@@ -16,9 +16,16 @@ from pyspark.sql import functions as F
 
 
 def dedupe_turn_versions(turns: DataFrame) -> DataFrame:
-    """C1: keep the latest-ts row per (conv_id, turn_idx)."""
+    """C1: keep the latest-ts row per (conv_id, turn_idx).
+
+    Exact-ts collisions tie-break on lexicographic-max ``text`` — the ONE
+    rule shared with the streaming path (streaming.stateful_reassemble),
+    chosen because it is engine-portable (plain ORDER BY, no
+    engine-specific hash) so batch, streaming, and any SQL oracle all
+    keep the same surviving row.
+    """
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.desc("ts"), F.desc(F.xxhash64("text"))
+        F.desc("ts"), F.desc("text")
     )
     return (
         turns.withColumn("_rn", F.row_number().over(w))

@@ -216,9 +216,10 @@ def run_incremental_ingest(
         else:
             idx_feats = spark.createDataFrame([], new_feats.schema)
             idx_bands = spark.createDataFrame([], new_bands.schema)
+        inc_scratch: list = []
         verified = incremental_verified_pairs(
             convs, "conv_id", "doc_text", idx_feats, idx_bands, cfg,
-            new_feats=new_feats, new_bands=new_bands,
+            new_feats=new_feats, new_bands=new_bands, scratch=inc_scratch,
         ).withColumn("batch_id", F.lit(batch_id)).withColumn(
             "stream_id", F.lit(stream_id)
         )
@@ -243,6 +244,8 @@ def run_incremental_ingest(
         )
         new_feats.unpersist()
         new_bands.unpersist()
+        for c in inc_scratch:
+            c.unpersist()
 
     writer = (
         stream_turns(spark, input_dir)
@@ -278,11 +281,21 @@ def stateful_reassemble(turns_stream: DataFrame, idle_gap_s: int = 1800,
     operator buffers them in per-conv_id group state and emits ONE
     reassembled conversation row when the conversation goes idle — its
     event-time timeout (last turn ts + ``idle_gap_s``) falls behind the
-    watermark. Semantics mirror the batch path exactly (reassemble.py):
-    duplicated (conv_id, turn_idx) keeps the latest-ts version (C1,
-    tie-broken on xxhash64(text) there / lexicographic max here only if
-    ts AND text collide — same row either way), and doc_text joins turn
-    texts in turn_idx order with "\\n" (C2).
+    watermark. Semantics mirror the batch path (reassemble.py):
+    duplicated (conv_id, turn_idx) keeps the latest-ts version, with
+    exact-ts collisions tie-broken on lexicographic-max text — the SAME
+    rule as batch ``dedupe_turn_versions``, so both paths keep the same
+    surviving row (pinned by test_streaming.py) — and doc_text joins
+    turn texts in turn_idx order with "\\n" (C2).
+
+    Late-data caveat (append-mode semantics, not a bug): a turn arriving
+    for a conversation AFTER its timeout emission re-creates state and,
+    when that state later times out, emits a SECOND row for the same
+    conv_id containing only the post-emission turns. Append-mode
+    stateful output cannot retract; downstream consumers that need
+    exactly-one-row-per-conv_id must re-apply the batch C1+C2 path over
+    the union (the idempotent-sink pattern in this module) or size
+    ``idle_gap_s``/``watermark`` above the real late-arrival horizon.
 
     Scale shape: state per key is O(turns of ONE conversation) and is
     dropped at emission; the watermark bounds total state to

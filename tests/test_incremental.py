@@ -94,3 +94,27 @@ def test_incremental_hot_index_bucket(spark):
     # skew guard: no single-partition Window sort anywhere in the plan
     plan = pairs._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in plan, "per-bucket window cap reintroduced"
+
+
+def test_incremental_releases_scratch_caches(spark, corpus):
+    """Long-session hygiene (VERDICT r4 #3): the scratch contract drains
+    every cache incremental_verified_pairs creates internally (delta
+    bands, semi-joined index slice, delta features)."""
+    old, new = corpus
+    cfg = DedupConfig(jaccard_threshold=0.55)
+    old_df = spark.createDataFrame(old, "doc_id string, text string")
+    new_df = spark.createDataFrame(new, "doc_id string, text string")
+    idx = build_index(old_df, "doc_id", "text", cfg)
+    spark.catalog.clearCache()
+    scratch = []
+    verified = incremental_verified_pairs(
+        new_df, "doc_id", "text", idx["features"], idx["bands"], cfg,
+        scratch=scratch,
+    )
+    n = verified.filter("verdict").count()
+    assert n >= 3 and len(scratch) == 3  # feats + bands + idx_hit
+    for c in scratch:
+        c.unpersist()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "incremental path leaked caches beyond the scratch contract"
+    )

@@ -105,3 +105,157 @@ def test_phash_near_dup_pairs(spark):
     assert pairs[("a", "b")] == 0
     assert pairs[("a", "c")] == 2 and pairs[("b", "c")] == 2
     assert all("d" not in p and "bad" not in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# real-decode branches (ADVICE r4): exercised by monkeypatching fake codec
+# modules — no Spark, no container codec libs needed. These pin that
+# installing Pillow/soundfile UPGRADES the path (real decode runs) instead
+# of silently zeroing every row, and that per-row codec failures still
+# degrade to ok=False.
+# ---------------------------------------------------------------------------
+
+class _FakeImg:
+    def __init__(self, arr):
+        self._arr = arr
+
+    def convert(self, mode):
+        assert mode == "L"
+        return self._arr
+
+
+class _FakePIL:
+    """PIL.Image stand-in: payload is a raw little-endian (h, w, pixels...)
+    blob; garbage payloads raise like a real codec."""
+
+    @staticmethod
+    def open(bio):
+        import numpy as np
+
+        buf = bio.read()
+        if len(buf) < 8:
+            raise OSError("cannot identify image file")
+        h = int.from_bytes(buf[0:4], "little")
+        w = int.from_bytes(buf[4:8], "little")
+        px = np.frombuffer(buf[8:], dtype=np.uint8)
+        if h * w != px.size or h <= 0:
+            raise OSError("truncated image")
+        return _FakeImg(px.reshape(h, w))
+
+
+def _img_payload(arr):
+    import numpy as np
+
+    h, w = arr.shape
+    return h.to_bytes(4, "little") + w.to_bytes(4, "little") + arr.astype(np.uint8).tobytes()
+
+
+def test_image_real_decode_branch_monkeypatched(monkeypatch):
+    import numpy as np
+    import pandas as pd
+
+    from hsip import multimodal as M
+
+    monkeypatch.setattr(M, "Image", _FakePIL)
+    monkeypatch.setattr(M, "_HAVE_PIL", True)
+    rng = np.random.default_rng(7)
+    good = rng.integers(0, 256, size=(24, 16), dtype=np.uint8)
+    tiny = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)  # <8px guard
+    pdf = pd.DataFrame(
+        {
+            "media_id": ["good", "tiny", "corrupt"],
+            "payload": [_img_payload(good), _img_payload(tiny), b"\x01\x02"],
+        }
+    )
+    out = M._image_feature_rows(pdf).set_index("media_id")
+    assert bool(out.loc["good", "ok"]) and out.loc["good", "width"] == 16
+    assert out.loc["good", "height"] == 24
+    # real pixels, real phash: recompute independently
+    assert int(out.loc["good", "phash"]) == M._phash64(good)
+    # tiny image survives the upsample guard (no NaN/divide-by-zero)
+    assert bool(out.loc["tiny", "ok"]) and out.loc["tiny", "phash"] is not None
+    # corrupt bytes degrade per-row, not per-batch
+    assert not bool(out.loc["corrupt", "ok"])
+
+
+def test_phash_tiny_image_guard_deterministic():
+    import numpy as np
+
+    from hsip.multimodal import _phash64
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (2, 9), (9, 2), (7, 7), (8, 8)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        h1, h2 = _phash64(arr), _phash64(arr)
+        assert h1 == h2 and isinstance(h1, int)
+    # constant 8x8 blow-up of a tiny image hashes like any constant: all
+    # cells equal the mean -> no bit set
+    assert _phash64(np.full((2, 2), 100, dtype=np.uint8)) == 0
+
+
+class _FakeSoundfile:
+    """soundfile stand-in: payload is float32 PCM frames (2-channel when
+    the length is even in frames); returns (data, rate)."""
+
+    @staticmethod
+    def read(bio, dtype="float32"):
+        import numpy as np
+
+        buf = bio.read()
+        if len(buf) < 8 or len(buf) % 4 != 0:
+            raise RuntimeError("Error opening audio")
+        sr = int.from_bytes(buf[0:4], "little")
+        pcm = np.frombuffer(buf[4:], dtype=np.float32)
+        return pcm.reshape(-1, 2), sr  # stereo: exercises the downmix
+
+
+def test_audio_real_decode_branch_monkeypatched(monkeypatch):
+    import numpy as np
+    import pandas as pd
+
+    from hsip import multimodal as M
+
+    monkeypatch.setattr(M, "soundfile", _FakeSoundfile)
+    monkeypatch.setattr(M, "_HAVE_SOUNDFILE", True)
+    sr = 8000
+    stereo = np.tile(np.array([0.5, -0.5], dtype=np.float32), 4000)  # 4000 frames
+    payload = sr.to_bytes(4, "little") + stereo.tobytes()
+    pdf = pd.DataFrame(
+        {
+            "media_id": ["clip", "corrupt"],
+            "payload": [payload, b"\x00"],
+            # metadata hint deliberately WRONG: codec's own rate must win
+            "sample_rate": [44100, 44100],
+        }
+    )
+    out = M._audio_feature_rows(pdf, window=1024).set_index("media_id")
+    clip = out.loc["clip"]
+    assert bool(clip["ok"])
+    # stereo (0.5, -0.5) downmixes to exactly 0 -> rms == peak == 0
+    assert clip["rms"] == 0.0 and clip["peak"] == 0.0
+    # duration uses the codec-reported 8000 Hz, not the 44100 hint
+    assert abs(clip["duration_s"] - 4000 / sr) < 1e-9
+    assert clip["n_windows"] == 4000 // 1024
+    assert not bool(out.loc["corrupt", "ok"])
+
+
+def test_stub_paths_unchanged_without_codecs():
+    """With no codec libs (this container's default), the stub decoders
+    still produce deterministic ok=True features."""
+    import pandas as pd
+
+    from hsip import multimodal as M
+
+    if M._HAVE_PIL or M._HAVE_SOUNDFILE:  # pragma: no cover
+        import pytest
+
+        pytest.skip("container unexpectedly ships codecs")
+    pdf = pd.DataFrame({"media_id": ["x"], "payload": [b"\x01" * 64]})
+    out1 = M._image_feature_rows(pdf)
+    out2 = M._image_feature_rows(pdf)
+    assert bool(out1["ok"][0]) and out1["phash"][0] == out2["phash"][0]
+    apdf = pd.DataFrame(
+        {"media_id": ["y"], "payload": [b"\x02" * 64], "sample_rate": [16000]}
+    )
+    aout = M._audio_feature_rows(apdf)
+    assert bool(aout["ok"][0]) and aout["rms"][0] > 0

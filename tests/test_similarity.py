@@ -100,3 +100,27 @@ def test_memory_recorder_captures_ann_hot_metric(spark):
     got = rec.recorded()
     assert got.get(("rhp_lsh_topk", "hot_buckets"), 0) > 0
     rec.flush()  # no catalog: must be a no-op, not a crash
+
+
+def test_ann_contract_query_cache_hygiene(spark):
+    """The ANN contract query (__spark_entry__.ann_rhp_lsh_topk) must
+    leave only its materialized RESULT cached — the corpus-sized
+    signature/band scratch caches are dropped before it returns
+    (VERDICT r4 #3)."""
+    import numpy as np
+
+    rows = [(i, [float(x) for x in np.random.default_rng(i).standard_normal(8)])
+            for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    spark.catalog.clearCache()
+    scratch = []
+    out = rhp_lsh_topk(emb, k=2, dim=8, band_bits=4, seed=7, scratch=scratch)
+    out = out.cache()
+    out.count()
+    for c in scratch:
+        c.unpersist()
+    # only ONE cached entry (the result) remains in the session
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert not jcm.isEmpty()
+    out.unpersist()
+    assert jcm.isEmpty(), "ANN scratch caches leaked into the session"

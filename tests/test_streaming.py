@@ -262,3 +262,55 @@ def test_stateful_reassemble_emits_on_idle_timeout(spark, tmp_path):
     # the sentinel conversation is still buffered in state (never idle
     # long enough before the stream drained) — append mode emitted nothing
     assert "sentinel" not in got
+
+def test_ts_collision_tiebreak_batch_equals_streaming(spark, tmp_path):
+    """C1 divergence guard (VERDICT r4 #1): two versions of the same
+    (conv_id, turn_idx) sharing an EXACT ts must resolve to the same
+    surviving row in batch dedupe_turn_versions and in the stateful
+    streaming path — the shared rule is lexicographic-max text."""
+    from hsip.reassemble import dedupe_turn_versions, reassemble
+    from hsip.streaming import stateful_reassemble, stream_turns
+
+    t0 = datetime(2025, 6, 1, 12, 0)
+    # turn 1 has two versions with identical ts and different texts
+    rows = [
+        ("c1", 0, "user", "turn0", "", t0),
+        ("c1", 1, "user", "aaa-version", "", t0 + timedelta(seconds=1)),
+        ("c1", 1, "user", "zzz-version", "", t0 + timedelta(seconds=1)),
+        ("c1", 2, "user", "turn2", "", t0 + timedelta(seconds=2)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+
+    batch = reassemble(dedupe_turn_versions(spark.createDataFrame(pdf)))
+    batch_text = batch.filter("conv_id = 'c1'").collect()[0].doc_text
+    assert batch_text == "turn0\nzzz-version\nturn2"
+
+    inp = tmp_path / "in_tie"
+    inp.mkdir()
+    pdf.to_parquet(str(inp / "f1.parquet"), index=False)
+    _write_wave(str(inp / "f2.parquet"), {"sentinel": ["tick"]},
+                t0 + timedelta(hours=6))
+    stream = (
+        spark.readStream.schema(stream_turns(spark, str(inp)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp))
+    )
+    out = stateful_reassemble(stream, idle_gap_s=60, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tie_reassembled")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tie"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.conv_id: r
+        for r in spark.sql("SELECT * FROM tie_reassembled").collect()
+    }
+    assert got["c1"].doc_text == batch_text
