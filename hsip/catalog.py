@@ -8,6 +8,17 @@ and pass ``iceberg_catalog=<name>`` — every read/write below then goes
 through ``spark.read.table`` / ``df.writeTo`` and inherits Iceberg
 snapshot isolation, metadata pruning and atomic commits. The parquet
 fallback emulates atomic commit with write-to-temp + rename + manifest.
+
+Concurrency contract (parquet fallback): SINGLE WRITER per table ident.
+Overwrites are last-writer-wins whole-directory renames (safe but
+clobbering); appends are optimistic — the writer records the manifest
+snapshot it started from and fails fast with ``ConcurrentWriteError``
+at commit time if another commit landed in between, instead of silently
+interleaving part files under a manifest that attributes them to the
+wrong snapshot. This is detection, not a lock: the check-then-rename
+window is not atomic across processes, so concurrent multi-process
+writers need the Iceberg path, whose commit protocol (metadata-pointer
+CAS) handles them natively on a real cluster.
 """
 
 from __future__ import annotations
@@ -15,10 +26,17 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
+from collections import defaultdict
 
 from pyspark.sql import DataFrame, SparkSession
+
+class ConcurrentWriteError(RuntimeError):
+    """Another commit landed on this table between append start and
+    commit (parquet-fallback optimistic check; see module docstring)."""
+
 
 FIXTURE_TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -47,6 +65,16 @@ class Catalog:
         self.iceberg_catalog = iceberg_catalog
         if not iceberg_catalog:
             os.makedirs(warehouse, exist_ok=True)
+        # in-process writers (e.g. the FAIR channel threads appending
+        # lineage rows) serialize per table ident; the optimistic
+        # snapshot check in write() covers writers this lock can't see
+        # (other processes / other Catalog instances)
+        self._ident_locks: dict[str, threading.Lock] = defaultdict(threading.Lock)
+        self._locks_guard = threading.Lock()
+
+    def _lock(self, ident: str) -> threading.Lock:
+        with self._locks_guard:
+            return self._ident_locks[ident]
 
     # -- identifiers ---------------------------------------------------
     def _path(self, ident: str) -> str:
@@ -118,14 +146,25 @@ class Catalog:
                     w = w.tableProperty(f"hsip.{k}", str(v))
                 w.createOrReplace()
             return
+        with self._lock(ident):
+            self._write_parquet_locked(df, ident, mode, meta, partition_by)
+
+    def _write_parquet_locked(self, df: DataFrame, ident: str, mode: str,
+                              meta: dict | None,
+                              partition_by: list[str] | None) -> None:
         base = self._path(ident)
+        base_snapshot = None
         if mode == "append" and self.exists(ident):
+            start_man = self.manifest(ident)
+            # optimistic single-writer check (module docstring): remember
+            # the snapshot this append builds on; verified again at commit
+            base_snapshot = start_man.get("snapshot_id")
             # a mixed root-files/key=value layout is rejected by Spark
             # partition discovery, so an append whose partition_by differs
             # from the table's recorded layout must fail fast instead of
             # corrupting the table (ADVICE.md r3)
-            existing = self.manifest(ident).get("partition_by")
-            if existing != (partition_by or None) and "empty_schema" not in self.manifest(ident):
+            existing = start_man.get("partition_by")
+            if existing != (partition_by or None) and "empty_schema" not in start_man:
                 raise ValueError(
                     f"append to {ident}: partition_by={partition_by!r} does not "
                     f"match the table's existing layout {existing!r}")
@@ -175,6 +214,20 @@ class Catalog:
             # os.walk handles hive-partitioned layouts: part files live in
             # nested key=value dirs that are created in the live tree as
             # needed, so appending a new batch_id adds one directory.
+            # stale-manifest fail-fast: if another writer committed since
+            # this append read its base snapshot, moving our part files in
+            # would attach rows to a manifest lineage we never saw — abort
+            # before touching the live tree (ConcurrentWriteError; the
+            # caller re-reads and retries on the new snapshot)
+            live_snapshot = self.manifest(ident).get("snapshot_id")
+            if base_snapshot is not None and live_snapshot != base_snapshot:
+                shutil.rmtree(tmp)
+                raise ConcurrentWriteError(
+                    f"append to {ident}: table advanced from snapshot "
+                    f"{base_snapshot} to {live_snapshot} during this append "
+                    "(single-writer contract; see hsip/catalog.py docstring)"
+                )
+            man["base_snapshot"] = base_snapshot
             data_dir = os.path.join(base, "data")
             tmp_data = os.path.join(tmp, "data")
             stamp = uuid.uuid4().hex[:8]
