@@ -103,6 +103,11 @@ def run(spark, sf_dir: str) -> dict:
     extras["transcript_turns"] = n_turns
     extras["transcript_turns_per_sec"] = round(n_turns / timings["transcript_dedup"], 1)
     stages["transcript_dedup"] = tres.stats.get("stage_walls", {})
+
+    # quality sidecar (UNTIMED — excluded from `value`): the perf artifact
+    # carries this round's recall/precision so BENCH_r{N}.json can't
+    # drift from the quality gates (VERDICT.md r4 item 9).
+    quality = _quality(spark, sf_dir, tres)
     turns.unpersist()
 
     # 3. relational representatives
@@ -127,9 +132,55 @@ def run(spark, sf_dir: str) -> dict:
         "extras": extras,
         "stages": stages,
         "raw_walls": raw_walls,
+        "quality": quality,
         "bench_runs_per_query": BENCH_RUNS,
         "cpus": CPUS,
     }
+
+
+def _quality(spark, sf_dir: str, tres) -> dict:
+    """Round quality pin: (a) e2e planted-truth recall/precision of the
+    transcript pipeline result just benchmarked, (b) per-channel
+    exactness vs brute-force ground truth on the sf0.01 documents slice
+    (the full-audit protocol of tools/channel_audit.py at a size that
+    keeps the bench wall bounded; the sf0.1 audit remains the deep
+    gate in pytest/tools)."""
+    from hsip.audit import audit_channels
+    from hsip.config import DedupConfig
+    from hsip.fixtures.gen import gen_transcripts, to_spark, truth_pairs
+    from hsip.recall import cluster_pairs, evaluate_pairs
+
+    out: dict = {}
+    gen = gen_transcripts(seed=42, n_base=N_BASE)
+    _, truth = to_spark(spark, gen)
+    ours = cluster_pairs(tres.clusters).cache()
+    tp = truth_pairs(truth).cache()
+    ev, _missed = evaluate_pairs(ours, tp)
+    out["transcript_e2e"] = {
+        "recall": round(ev.recall, 6),
+        "precision": round(ev.precision, 6),
+        "truth_pairs": ev.n_truth,
+        "our_pairs": ev.n_ours,
+    }
+    ours.unpersist(), tp.unpersist()
+
+    audit_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if not os.path.isdir(audit_dir):
+        audit_dir = sf_dir
+    docs = spark.read.parquet(os.path.join(audit_dir, "documents.parquet")).cache()
+    res = audit_channels(docs, "doc_id", "text", DedupConfig(jaccard_threshold=0.7))
+    out["channels"] = {
+        ch: {
+            "recall": round(r["recall"], 6),
+            "precision": round(r["precision"], 6),
+            "n_got": r["n_got"],
+            "n_truth": r["n_truth"],
+        }
+        for ch, r in res.items()
+    }
+    out["channels_sf"] = audit_dir.rstrip("/").split("sf")[-1]
+    docs.unpersist()
+    return out
 
 
 def main():

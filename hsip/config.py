@@ -65,6 +65,15 @@ class DedupConfig:
     # the fingerprint channel) and every split group is surfaced via the
     # returned stats / recorder — no silent caps (§4.2.1)
     substr_group_byte_budget: int = 256 * 1024 * 1024
+    # optional duplicate-span EXTRACTION stage (Lee et al. ACL'22
+    # removal use-case): when set, run_documents emits a
+    # ``duplicate_spans`` table via exact_substr_within_groups, grouping
+    # docs by this SQL expression over the INPUT frame (e.g. "lang",
+    # "substring(doc_id, 1, 2)", or "'all'" for one corpus-wide group —
+    # the per-group byte budget sub-buckets oversized groups either way).
+    # Flows through the same stage checkpoint/lineage/metrics discipline
+    # as every other stage.
+    extract_spans_group_col: str | None = None
     # normalization (R3)
     lowercase: bool = True
     collapse_ws: bool = True
@@ -72,6 +81,19 @@ class DedupConfig:
     nfc: bool = False               # Unicode NFC (pandas UDF; off for oracle parity)
     # ops
     max_turns_per_conv: int = 10_000  # spill guard, logged when hit (§4.2.5)
+    # scale-proportional materialization barriers (VERDICT r4 item 1):
+    # the eager cache+count barriers that stop AQE's concurrent
+    # query-stage futures from rebuilding a shared subtree N times are a
+    # 2x win at 2.76M turns (BENCH/BASELINE.md r4) but pure serialization
+    # overhead on small corpora, where the rebuilt subtree is cheaper
+    # than the extra Spark actions (same-session A/B r5: +26% on the 57k
+    # bench). Below this doc count the pipeline keeps the caches lazy and
+    # skips the extra counts; at/above it the barriers engage. Calibrated
+    # between the measured regimes: the 57k-turn/2.8k-conv and 5k-doc
+    # bench corpora sit lazy; the 554k-turn/27k-conv and 2.76M-turn/136k-
+    # conv scaling ladders (where the barriers measured ~2x) sit eager.
+    # NON-SEMANTIC — identical output either way
+    eager_barrier_min_docs: int = 25_000
     # reliable CC lineage truncation: when set, connected-components rounds
     # checkpoint to this fault-tolerant dir (survives executor loss) instead
     # of localCheckpoint (bench-fast, executor-local). SURVEY §4.2.3.
@@ -85,7 +107,7 @@ class DedupConfig:
         fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003, thm 1)."""
         return self.min_substr_len - self.winnow_window + 1
 
-    _NON_SEMANTIC = frozenset({"cc_checkpoint_dir"})
+    _NON_SEMANTIC = frozenset({"cc_checkpoint_dir", "eager_barrier_min_docs"})
 
     def fingerprint(self) -> str:
         sem = {

@@ -36,7 +36,12 @@ from .minhash import attach_minhash
 from .reassemble import dedupe_turn_versions, reassemble
 from .shingle import shingle_docs
 from .simhash import attach_simhash, hamming_block_table, simhash_candidates
-from .suffixes import fingerprint_table, substr_candidates, verify_substr
+from .suffixes import (
+    exact_substr_within_groups,
+    fingerprint_table,
+    substr_candidates,
+    verify_substr,
+)
 from .textkernel import featurize
 
 
@@ -47,6 +52,8 @@ class PipelineResult:
     representatives: DataFrame
     run_id: str
     stats: dict = field(default_factory=dict)
+    # cfg.extract_spans_group_col only: per-group exact duplicate spans
+    duplicate_spans: DataFrame | None = None
 
 
 def _run_channels(spark: SparkSession, builders) -> list[DataFrame]:
@@ -176,6 +183,12 @@ def run_documents(
     need_mh = "minhash_lsh" in channels
     need_sh = "simhash" in channels
 
+    # scale-proportional barriers (config.py eager_barrier_min_docs):
+    # base is cached+materialized above, so this count is a metadata read
+    n_docs = base.count()
+    eager_barriers = n_docs >= cfg.eager_barrier_min_docs
+    stats["eager_barriers"] = eager_barriers
+
     # caches whose LAST consumer is the channel verify phase — released
     # in one sweep after the `verified` stage materializes, so a long
     # session running many pipelines doesn't accrete executor storage
@@ -282,7 +295,8 @@ def run_documents(
         return stage(
             "verify_mh_sh",
             lambda: V.verify_jaccard_hamming(cands, feats, cfg,
-                                            scratch=scratch),
+                                            scratch=scratch,
+                                            eager=eager_barriers),
             reuse=False,
         )
 
@@ -292,7 +306,8 @@ def run_documents(
         scratch.append(fps)
 
         def build_substr():
-            pairs, hot = substr_candidates(fps, cfg, scratch=scratch)
+            pairs, hot = substr_candidates(fps, cfg, scratch=scratch,
+                                           eager=eager_barriers)
             if rec:
                 # cache + eager count BEFORE the metric scans: without it
                 # the hot.count() + truncation filter re-execute the whole
@@ -349,6 +364,23 @@ def run_documents(
     )
     reps = stage("representatives", lambda: canonical_representatives(clusters))
 
+    spans = None
+    if cfg.extract_spans_group_col is not None:
+        # optional span EXTRACTION stage (config.py): groups come from a
+        # SQL expression over the INPUT frame (base only carries id/text),
+        # so evaluate it there; ids align because base casts the same col
+        grouped = docs.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(text_col).alias("text"),
+            F.expr(cfg.extract_spans_group_col).alias("span_grp"),
+        )
+        spans = stage(
+            "duplicate_spans",
+            lambda: exact_substr_within_groups(
+                grouped, "id", "text", "span_grp", cfg, recorder=rec
+            ),
+        )
+
     if rec:
         rec.metric("pipeline", "n_docs", base.count())
         rec.metric("pipeline", "n_verified_edges", verified.filter("verdict").count())
@@ -361,7 +393,7 @@ def run_documents(
     base.unpersist()
     return PipelineResult(
         clusters=clusters, verified=verified, representatives=reps,
-        run_id=run_id, stats=stats,
+        run_id=run_id, stats=stats, duplicate_spans=spans,
     )
 
 

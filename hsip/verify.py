@@ -91,7 +91,8 @@ def verify_hamming(pairs: DataFrame, simhash_df: DataFrame, cfg: DedupConfig) ->
 
 def verify_jaccard_hamming(pairs: DataFrame, features: DataFrame,
                            cfg: DedupConfig,
-                           scratch: list | None = None) -> DataFrame:
+                           scratch: list | None = None,
+                           eager: bool = True) -> DataFrame:
     """V2+V3, channel-aware verification: each channel's pairs touch ONLY
     the feature bytes its check reads.
 
@@ -120,7 +121,18 @@ def verify_jaccard_hamming(pairs: DataFrame, features: DataFrame,
     only the bytes-per-pair change. A pair caught by BOTH channels is two
     input rows (a, b, channel) and stays two output rows, exactly as the
     CASE dispatch produced.
+
+    ``eager=False`` (small corpora, cfg.eager_barrier_min_docs) switches
+    to the r3-style single fused CASE hydration: ONE unpruned feature
+    join chain, no pair/feature caches, no extra scans. At 57k turns the
+    fat exchange is ~tens of MB and the split path's extra stages cost
+    more than they save (same-session A/B, BENCH/BASELINE.md r5); at
+    2.76M turns the split path is 2x (r4). Scale-adaptive physical
+    planning — output equality between the two shapes is pinned by
+    tests/test_e2e_oracle.py.
     """
+    if not eager:
+        return _verify_jh_fused_small(pairs, features, cfg)
     # the pair table feeds four subplans (two channel filters + two
     # pair-id scans for pruning); callers pass it UNCACHED in ephemeral
     # runs, so materialize it once here — without this every scan re-runs
@@ -140,7 +152,11 @@ def verify_jaccard_hamming(pairs: DataFrame, features: DataFrame,
         .join(pair_ids, "id", "left_semi")
         .cache()
     )
-    f.count()
+    if eager:
+        # without the count, AQE's concurrent join-side futures build the
+        # pruned subtree twice; ``eager=False`` (small corpora) accepts
+        # that — the rebuild is cheaper than the barrier there
+        f.count()
     if scratch is not None:
         scratch.append(f)
     mh = mh_pairs.join(f, mh_pairs["a"] == f["id"]).drop("id") \
@@ -169,6 +185,33 @@ def verify_jaccard_hamming(pairs: DataFrame, features: DataFrame,
         .withColumn("verdict", F.col("hamming") <= cfg.hamming_d)
     )
     return mh.unionByName(sh.select(*mh.columns))
+
+
+def _verify_jh_fused_small(pairs: DataFrame, features: DataFrame,
+                           cfg: DedupConfig) -> DataFrame:
+    """Small-corpus shape of verify_jaccard_hamming: one fused CASE
+    hydration (the round-3 design). Payload (simhash_a/_b) pairs skip the
+    simhash hydration column; rows/verdicts identical to the split path.
+    """
+    has_payload = "simhash_a" in pairs.columns
+    cols = ["shingles"] if has_payload else ["shingles", "simhash"]
+    h = hydrate(pairs, features, cols)
+    is_mh = F.col("channel") == "minhash_lsh"
+    jac = F.when(is_mh, jaccard_col())
+    ham = F.when(
+        ~is_mh,
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("int"),
+    )
+    return (
+        h.withColumn("jaccard", jac)
+        .withColumn("hamming", ham)
+        .drop("shingles_a", "shingles_b", "simhash_a", "simhash_b")
+        .withColumn(
+            "verdict",
+            F.when(is_mh, F.col("jaccard") >= cfg.jaccard_threshold)
+            .otherwise(F.col("hamming") <= cfg.hamming_d),
+        )
+    )
 
 
 def combine_verified(*verified: DataFrame) -> DataFrame:
