@@ -692,7 +692,17 @@ def ann_rhp_lsh_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     rec = Recorder(spark, catalog=None, run_id="contract-ann")
-    return rhp_lsh_topk(emb, k=3, dim=64, band_bits=4, seed=7, recorder=rec)
+    # scratch lifecycle (VERDICT r4 #3): materialize the small top-k
+    # result, then drop the internal signature/band caches — the session
+    # keeps only the result frame, not the corpus-sized intermediates
+    scratch: list = []
+    out = rhp_lsh_topk(
+        emb, k=3, dim=64, band_bits=4, seed=7, recorder=rec, scratch=scratch
+    ).cache()
+    out.count()
+    for c in scratch:
+        c.unpersist()
+    return out
 
 
 def image_feature_extraction(spark, sf_dir):
@@ -865,9 +875,23 @@ def transcript_reassembly_roundtrip(spark, sf_dir):
     row_number + an ORDER BY string_agg. Upgrades the reassembly
     invariant from rows-only (synthetic in-process corpus) to
     value-hash-verified on the driver's shared parquet."""
+    from hsip.reassemble import dedupe_turn_versions, reassemble
+
+    deduped = dedupe_turn_versions(_docs_as_turns(spark, sf_dir))
+    return reassemble(deduped).select(
+        "conv_id", "n_turns", F.md5("doc_text").alias("doc_md5")
+    )
+
+
+def _docs_as_turns(spark, sf_dir):
+    """Shared-parquet transcript corpus: 30-token chunks of normalized
+    ``documents`` text as (conv_id, turn_idx, role, text, tool, ts)
+    turns, plus a late-arriving STALE re-write of turn 0 with strictly
+    older ts that C1 must drop (no ts ties, so the lexicographic-text
+    tie-break never fires and a plain ts-DESC row_number oracle
+    suffices)."""
     from hsip.chunking import chunk_docs
     from hsip.normalize import tokens_col
-    from hsip.reassemble import dedupe_turn_versions, reassemble
 
     docs = _t(spark, sf_dir, "documents")
     chunks = chunk_docs(
@@ -883,9 +907,6 @@ def transcript_reassembly_roundtrip(spark, sf_dir):
         F.lit(None).cast("string").alias("tool"),
         F.timestamp_seconds(F.col("chunk_idx")).alias("ts"),
     )
-    # late-arriving STALE re-write of turn 0 with strictly older ts: C1
-    # must drop it (no ts ties, so the xxhash64 tie-break never fires and
-    # the DuckDB oracle needs no engine-specific hash)
     stale = turns.filter(F.col("turn_idx") == 0).select(
         "conv_id",
         "turn_idx",
@@ -894,21 +915,32 @@ def transcript_reassembly_roundtrip(spark, sf_dir):
         "tool",
         F.timestamp_seconds(F.lit(-1000)).alias("ts"),
     )
-    deduped = dedupe_turn_versions(turns.unionByName(stale))
-    return reassemble(deduped).select(
-        "conv_id", "n_turns", F.md5("doc_text").alias("doc_md5")
-    )
+    return turns.unionByName(stale)
 
 
 def transcript_dedup_clusters(spark, sf_dir):
-    """Full transcript pipeline on the seeded synthetic corpus (S7)."""
+    """FULL transcript pipeline, oracle-verified end to end (VERDICT r4
+    item 5): C1 turn-version dedupe -> C2 reassembly -> minhash channel
+    -> exact-Jaccard verify -> connected components, over the shared
+    documents parquet chunked into turns (_docs_as_turns, with planted
+    stale re-writes). At the guaranteed-recall config (r=1 bands over 256
+    coordinates, caps off) the output is exactly "CC of the Jaccard>=0.7
+    graph over the reassembled conversations" — and because the 30-token
+    chunk grid partitions the normalized token stream exactly, the
+    DuckDB oracle shingles the original normalized text directly while
+    staying sensitive to reassembly bugs: a wrong turn order or an
+    undropped stale turn changes the 5-gram shingle stream and the
+    cluster hash."""
     from hsip.config import DedupConfig
-    from hsip.fixtures.gen import gen_transcripts, to_spark
     from hsip.pipeline import run_transcripts
 
-    gen = gen_transcripts(seed=42, n_base=150)
-    turns, _ = to_spark(spark, gen)
-    return run_transcripts(spark, turns, DedupConfig()).clusters
+    cfg = DedupConfig(
+        num_perm=256, lsh_bands=256, lsh_rows=1,
+        jaccard_threshold=0.7, bucket_cap=1_000_000,
+    )
+    turns = _docs_as_turns(spark, sf_dir)
+    res = run_transcripts(spark, turns, cfg, channels=("minhash_lsh",))
+    return res.clusters
 
 
 def approx_distinct_parts(spark, sf_dir):
@@ -1300,6 +1332,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks[chunk_idx * 30 + 1 : chunk_idx * 30 + 40])
                         AS INT) AS n_chunk_tokens
             FROM e
+        """,
+        # FULL transcript pipeline oracle (VERDICT r4 item 5): the
+        # 30-token chunk grid partitions the normalized token stream
+        # exactly and C1 drops the planted stale turns, so the
+        # reassembled conversations re-normalize to the original
+        # normalized text — shingle it directly (any reassembly-order or
+        # stale-drop bug would change the 5-gram stream and the hash).
+        # Docs with zero tokens yield zero turns and are absent.
+        "transcript_dedup_clusters": f"""
+            WITH RECURSIVE t AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       {norm_text} AS nt
+                FROM documents
+            ),
+            tok AS (
+                SELECT id, nt,
+                       list_filter(string_split(nt, ' '), x -> x <> '') AS toks
+                FROM t
+            ),
+            live AS (SELECT * FROM tok WHERE len(toks) > 0),
+            sh AS (
+                SELECT id,
+                       CASE
+                           WHEN len(toks) >= 5 THEN list_distinct(
+                               list_transform(
+                                   range(1, len(toks) - 3),
+                                   i -> array_to_string(toks[i:i+4], ' ')
+                               ))
+                           ELSE [nt]
+                       END AS s
+                FROM live
+            ),
+            pairs AS (
+                SELECT a.id AS ia, b.id AS ib
+                FROM sh a JOIN sh b ON a.id < b.id
+                WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+            ),
+            edges AS (
+                SELECT ia AS src, ib AS dst FROM pairs
+                UNION ALL
+                SELECT ib AS src, ia AS dst FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT id, id FROM live
+                UNION
+                SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+            )
+            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
         """,
         # C1+C2 reassembly round-trip: same 30-token chunk grid as
         # doc_chunks (overlap 0), stale turn-0 re-writes dropped by
