@@ -806,10 +806,23 @@ def simhash_hamming_pairs(spark, sf_dir):
 
 
 def substr_duplicate_spans(spark, sf_dir):
+    """Substring channel with exact SPAN LENGTHS, oracle-verified: with
+    caps off, winnowing guarantees every maximal common substring >= L
+    contains a shared selected fingerprint, and anchor extension is an
+    exact byte comparison — so substr_len per pair equals the maximum
+    common substring length of the normalized texts. DuckDB reproduces
+    it hash-free: shared L-char windows grouped by alignment diagonal
+    (ib - ia); a maximal common substring of length S contributes a run
+    of S-L+1 consecutive window starts on one diagonal, so
+    max_span = max over diagonals of (island length + L - 1) — a
+    gaps-and-islands rollup."""
     from hsip.config import DedupConfig
     from hsip.suffixes import fingerprint_table, substr_candidates, verify_substr
 
-    cfg = DedupConfig(min_substr_len=120, winnow_window=30)
+    cfg = DedupConfig(
+        min_substr_len=120, winnow_window=30,
+        substr_bucket_cap=1_000_000, max_anchors_per_pair=1_000_000,
+    )
     docs = _t(spark, sf_dir, "documents")
     fps = fingerprint_table(docs, "doc_id", "text", cfg)
     pairs, _ = substr_candidates(fps, cfg)
@@ -1523,6 +1536,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT x.id AS a, y.id AS b
             FROM w x JOIN w y ON x.win = y.win AND x.id < y.id
+        """,
+        # exact max-common-substring oracle (gaps-and-islands over shared
+        # L=120-char windows per alignment diagonal; see the query
+        # docstring for why this equals the channel's substr_len exactly)
+        "substr_duplicate_spans": f"""
+            WITH n AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id, {norm_text} AS t
+                FROM documents
+            ),
+            w AS (
+                SELECT id, i, substr(t, i, 120) AS win
+                FROM (
+                    SELECT id, t,
+                           unnest(range(1, greatest(length(t) - 119, 0) + 1)) AS i
+                    FROM n
+                )
+            ),
+            m AS (
+                SELECT x.id AS a, y.id AS b, x.i AS ia, y.i - x.i AS diag
+                FROM w x JOIN w y ON x.win = y.win AND x.id < y.id
+            ),
+            isl AS (
+                SELECT a, b, diag,
+                       ia - row_number() OVER (
+                           PARTITION BY a, b, diag ORDER BY ia
+                       ) AS grp
+                FROM m
+            ),
+            spans AS (
+                SELECT a, b, count(*) + 119 AS span
+                FROM isl GROUP BY a, b, diag, grp
+            )
+            SELECT a, b, CAST(max(span) AS INT) AS substr_len
+            FROM spans GROUP BY a, b
         """,
         "embedding_topk_neighbors": """
             WITH probes AS (
