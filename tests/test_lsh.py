@@ -201,3 +201,38 @@ def test_verify_jaccard_hamming_payload_and_fallback(spark):
     assert by_key[("a", "b", "minhash_lsh")] == (0.6, None, True)
     assert by_key[("a", "b", "simhash")] == (None, 1, True)
     assert by_key[("a", "c", "simhash")] == (None, 6, False)
+
+
+def test_verify_shapes_fused_small_equals_split(spark):
+    """Scale-adaptive verify (round 5): the small-corpus fused CASE shape
+    (eager=False) and the large-corpus channel-aware split (eager=True)
+    must emit identical rows on every payload combination."""
+    from hsip.config import DedupConfig
+    from hsip.verify import verify_jaccard_hamming
+
+    cfg = DedupConfig(jaccard_threshold=0.5, hamming_d=3)
+    feats = spark.createDataFrame(
+        [("a", [1, 2, 3, 4], 0b0000), ("b", [1, 2, 3, 9], 0b0001),
+         ("c", [7, 8], 0b111111)],
+        "id string, shingles array<long>, simhash long",
+    )
+    sims = {"a": 0b0000, "b": 0b0001, "c": 0b111111}
+    base = [("a", "b", "minhash_lsh"), ("a", "b", "simhash"),
+            ("a", "c", "simhash"), ("b", "c", "minhash_lsh")]
+    plain = spark.createDataFrame(base, "a string, b string, channel string")
+    payload = spark.createDataFrame(
+        [(a, b, ch,
+          sims[a] if ch == "simhash" else None,
+          sims[b] if ch == "simhash" else None) for a, b, ch in base],
+        "a string, b string, channel string, simhash_a long, simhash_b long",
+    )
+    cols = ["a", "b", "channel", "jaccard", "hamming", "verdict"]
+    outs = []
+    for pairs in (plain, payload):
+        for eager in (True, False):
+            outs.append({
+                tuple(r)
+                for r in verify_jaccard_hamming(pairs, feats, cfg, eager=eager)
+                .select(*cols).collect()
+            })
+    assert all(o == outs[0] for o in outs[1:]), outs
