@@ -705,6 +705,25 @@ def ann_rhp_lsh_topk(spark, sf_dir):
     return out
 
 
+def ann_ivf_full_probe_topk(spark, sf_dir):
+    """IVF ANN (coarse k-means quantizer + cell probing + in-cell exact
+    re-rank) at FULL probe (n_probe == n_cells): the probed cells cover
+    the whole corpus, so the output equals exact brute-force cosine
+    top-k and the same DuckDB oracle as embedding_topk_neighbors
+    verifies the entire IVF plumbing — driver-bounded centroid fit,
+    vectorized cell assignment, probe-list explode, per-cell window
+    re-rank. The partial-probe recall/latency tradeoff (the actual
+    100 TB configuration, n_cells ~ sqrt(N)) is pytest-gated against
+    brute force in tests/test_similarity.py."""
+    from hsip.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(
+        emb, probes, k=3, dim=64, n_cells=16, n_probe=16, seed=7
+    ).select("q_id", F.col("neighbor_id"))
+
+
 def image_feature_extraction(spark, sf_dir):
     """Multimodal plumbing: binary payload -> (dims, phash) via mapInPandas."""
     from hsip.multimodal import extract_image_features, synthetic_media
@@ -1030,6 +1049,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_samples": video_frame_samples,
         # embeddings / similarity search
         "embedding_topk_neighbors": embedding_topk_neighbors,
+        "ann_ivf_full_probe_topk": ann_ivf_full_probe_topk,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "embedding_label_stats": embedding_label_stats,
         "token_counts": token_counts,
@@ -1572,6 +1592,29 @@ def oracle_sql() -> dict[str, str]:
             FROM spans GROUP BY a, b
         """,
         "embedding_topk_neighbors": """
+            WITH probes AS (
+                SELECT vec_id AS q_id, embedding AS q FROM embeddings
+                WHERE vec_id < 20
+            ),
+            scored AS (
+                SELECT p.q_id, e.vec_id,
+                       list_dot_product(p.q, e.embedding)
+                       / (sqrt(list_dot_product(p.q, p.q))
+                          * sqrt(list_dot_product(e.embedding, e.embedding)))
+                           AS cos
+                FROM probes p CROSS JOIN embeddings e
+                WHERE e.vec_id <> p.q_id
+            )
+            SELECT q_id, vec_id AS neighbor_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY q_id ORDER BY cos DESC, vec_id
+                       ) AS rk
+                FROM scored
+            ) WHERE rk <= 3
+        """,
+        # full-probe IVF covers every cell -> identical to exact top-k
+        "ann_ivf_full_probe_topk": """
             WITH probes AS (
                 SELECT vec_id AS q_id, embedding AS q FROM embeddings
                 WHERE vec_id < 20

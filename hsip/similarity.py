@@ -147,3 +147,123 @@ def rhp_lsh_topk(emb: DataFrame, k: int, dim: int, n_bits: int = 64,
         .filter(F.col("rk") <= k)
         .select("q_id", F.col("n_id").alias("neighbor_id"), F.round("cos", 6).alias("cos"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def ivf_fit_centroids(emb: DataFrame, dim: int, n_cells: int = 16,
+                      sample_limit: int = 4096, n_iter: int = 10,
+                      seed: int = 42, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means coarse quantizer fit on a BOUNDED driver-side
+    sample (deterministic hash-order take — TakeOrderedAndProject, no
+    global sort), like broadcasting a small dim table: the sample is
+    <= sample_limit * dim floats regardless of corpus size, so the fit
+    cost is constant at 100 TB. Returns (n_cells, dim) L2-normalized
+    centroids. Empty cells are re-seeded from the farthest points so the
+    quantizer never collapses."""
+    rows = (
+        emb.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(int(sample_limit))
+        .collect()
+    )
+    x = np.vstack([np.asarray(r.v, dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms > 0, norms, 1.0)
+    gen = np.random.default_rng(seed)
+    cents = x[gen.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    if len(cents) < n_cells:  # corpus smaller than n_cells
+        cents = np.vstack([cents, gen.standard_normal((n_cells - len(cents), dim))])
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(n_iter):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+            else:
+                # re-seed dead cell from the globally worst-served point
+                cents[c] = x[sims.max(axis=1).argmin()]
+    return cents
+
+
+def ivf_topk(emb: DataFrame, probes: DataFrame, k: int, dim: int,
+             n_cells: int = 16, n_probe: int = 4, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray | None = None,
+             recorder=None) -> DataFrame:
+    """IVF ANN: assign index vectors to their nearest centroid cell
+    (vectorized pandas UDF, one matmul per Arrow batch), probe each
+    query's n_probe nearest cells, exact-cosine re-rank inside the
+    probed cells. Candidates per query ~= n_probe/n_cells of the corpus
+    — the classic IVF tradeoff curve; with n_probe == n_cells the probed
+    cells cover everything and the output EQUALS exact brute-force top-k
+    (the oracle-verifiable configuration).
+
+    Scale shape: only (id, cell) plus the vector being ranked crosses
+    the cell join; at corpus scale pick n_cells ~ sqrt(N) and store the
+    index bucketed by cell so a probe reads only matching buckets.
+    Small probe sets broadcast (Catalyst decides by size). Cell-count
+    skew is the n_cells knob itself — cells are intentionally coarse,
+    and the per-cell re-rank is a projection + window, not an all-pairs
+    expansion."""
+    cents = centroids if centroids is not None else ivf_fit_centroids(
+        emb, dim, n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    n_cells = len(cents)
+    n_probe = min(n_probe, n_cells)
+    ct = cents.T.copy()
+
+    @pandas_udf(T.IntegerType())
+    def cell_of(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype=np.int32)
+                continue
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(nrm > 0, nrm, 1.0)
+            yield pd.Series((m @ ct).argmax(axis=1).astype(np.int32))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            out = []
+            for v in vecs:
+                q = np.asarray(v, dtype=np.float64)
+                n = np.linalg.norm(q)
+                q = q / (n if n > 0 else 1.0)
+                sims = q @ ct
+                top = np.argsort(-sims)[:n_probe]
+                out.append([int(c) for c in top])
+            yield pd.Series(out)
+
+    idx = emb.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("v")
+    ).withColumn("cell", cell_of("v"))
+    q = probes.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q")
+    ).withColumn("cell", F.explode(probe_cells(F.col("q"))))
+    cand = (
+        q.join(idx, "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .drop("cell")
+    )
+    if recorder is not None:
+        recorder.metric("ivf_topk", "n_cells", n_cells)
+        recorder.metric("ivf_topk", "n_probe", n_probe)
+    scored = cand.select("q_id", "n_id", _cosine_expr("q", "v").alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("n_id").alias("neighbor_id"),
+                F.round("cos", 6).alias("cos"), "rk")
+    )

@@ -124,3 +124,66 @@ def test_ann_contract_query_cache_hygiene(spark):
     assert not jcm.isEmpty()
     out.unpersist()
     assert jcm.isEmpty(), "ANN scratch caches leaked into the session"
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """IVF with n_probe == n_cells covers every cell: output must equal
+    exact brute-force cosine top-k (the oracle-verifiable config that
+    exercises the full IVF plumbing)."""
+    import numpy as np
+
+    from hsip.similarity import brute_force_topk, ivf_topk
+
+    gen = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in gen.standard_normal(16)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter("vec_id < 10")
+    bf = {(r.q_id, r.rk): r.neighbor_id
+          for r in brute_force_topk(emb, probes, k=3).collect()}
+    ivf = {(r.q_id, r.rk): r.neighbor_id
+           for r in ivf_topk(emb, probes, k=3, dim=16, n_cells=8,
+                             n_probe=8, seed=7).collect()}
+    assert ivf == bf
+
+
+def test_ivf_partial_probe_recall_on_clustered_data(spark):
+    """The actual IVF operating point: n_probe << n_cells. On
+    well-separated clusters the quantizer routes queries to their own
+    cluster's cell, so top-k recall vs brute force stays high while
+    each query scans ~n_probe/n_cells of the corpus."""
+    import numpy as np
+
+    from hsip.similarity import brute_force_topk, ivf_topk
+
+    gen = np.random.default_rng(11)
+    centers = gen.standard_normal((8, 16)) * 10
+    rows = []
+    for i in range(160):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in c + gen.standard_normal(16) * 0.1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter("vec_id < 16")
+    bf = {(r.q_id, r.neighbor_id)
+          for r in brute_force_topk(emb, probes, k=3).collect()}
+    ivf = {(r.q_id, r.neighbor_id)
+           for r in ivf_topk(emb, probes, k=3, dim=16, n_cells=8,
+                             n_probe=2, seed=7).collect()}
+    recall = len(ivf & bf) / len(bf)
+    assert recall >= 0.9, f"IVF partial-probe recall {recall}"
+
+
+def test_ivf_centroid_fit_deterministic_and_normalized(spark):
+    import numpy as np
+
+    from hsip.similarity import ivf_fit_centroids
+
+    gen = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in gen.standard_normal(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = ivf_fit_centroids(emb, dim=8, n_cells=4, seed=9)
+    c2 = ivf_fit_centroids(emb, dim=8, n_cells=4, seed=9)
+    assert np.allclose(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    # more cells than sample points still yields n_cells unit rows
+    c3 = ivf_fit_centroids(emb.limit(3), dim=8, n_cells=6, seed=9)
+    assert c3.shape == (6, 8)
