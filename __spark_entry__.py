@@ -377,6 +377,36 @@ def events_type_map_profile(spark, sf_dir):
     )
 
 
+def events_sessionization(spark, sf_dir):
+    """Gap-based sessionization (Q12+Q13 composed): a session opens on the
+    first event and after any >12h inactivity gap; session ids are the
+    running sum of break flags per user. Two stacked windows (lag, then
+    sum) and the final groupBy all share one hash-partitioning on
+    user_id, so the whole operator costs a single shuffle — the classic
+    log-pipeline step upstream of per-session sampling/labeling at
+    100 TB. Oracle: identical lag/sum windows in DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gapped = ev.select(
+        "user_id", "ts", "event_id", "value", epoch.alias("ep"),
+        F.when(
+            F.lag(epoch).over(w).isNull()
+            | ((epoch - F.lag(epoch).over(w)) > 43200),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sess = gapped.select(
+        "user_id", "value", "ep",
+        F.sum("is_new").over(w).cast("long").alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ep") - F.min("ep")).alias("duration_sec"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # documents: normalization, dedup oracles, text analysis (R2-R3, G1, X2)
 # ---------------------------------------------------------------------------
@@ -631,6 +661,26 @@ def quality_signals(spark, sf_dir):
     q = attach_quality(docs, "text")
     return q.select(
         "doc_id", "n_tokens", "punct_ratio", "digit_ratio", "diversity"
+    )
+
+
+def lang_weighted_doclen(spark, sf_dir):
+    """U5 grouped-agg pandas UDAF (hsip.textstats.weighted_mean) in a
+    real agg: per-language mean document length weighted by whitespace
+    token count. Inputs are integers, so the UDAF's float64 sums are
+    exact and partition-order invariant — DuckDB's
+    sum(chars*toks)/sum(toks) reproduces the value bit-for-bit, making
+    this the oracle-verified exercise of the one pandas-UDF flavor the
+    pipeline itself never needed (SURVEY.md §2 U5)."""
+    from hsip.textstats import token_count_col, weighted_mean
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return docs.groupBy("lang").agg(
+        F.round(weighted_mean("n_chars", "n_tokens"), 6).alias("w_mean_len")
     )
 
 
@@ -1034,6 +1084,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_gaps": events_user_gaps,
         "events_burst_pairs": events_burst_pairs,
         "events_type_map_profile": events_type_map_profile,
+        "events_sessionization": events_sessionization,
         # documents / text analysis / dedup oracles
         "dedup_exact_clusters": dedup_exact_clusters,
         "dedup_exact_pairs": dedup_exact_pairs,
@@ -1054,6 +1105,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_stats": embedding_label_stats,
         "token_counts": token_counts,
         "quality_signals": quality_signals,
+        "lang_weighted_doclen": lang_weighted_doclen,
         # rows-only
         "lang_id_heuristic": lang_id_heuristic,
         "ann_rhp_lsh_topk": ann_rhp_lsh_topk,
@@ -1269,6 +1321,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (cnt >= 10) AS BIGINT) AS heavy_types,
                    CAST(SUM(ks) AS BIGINT) AS k_sum
             FROM per_ut GROUP BY user_id
+        """,
+        "events_sessionization": """
+            WITH g AS (
+                SELECT user_id, ts, event_id, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                       CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT)
+                               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                                   PARTITION BY user_id ORDER BY ts, event_id
+                               ) > 43200
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+            ), s AS (
+                SELECT user_id, value, ep,
+                       CAST(SUM(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS BIGINT) AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   max(ep) - min(ep) AS duration_sec,
+                   round(sum(value), 2) AS session_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "lang_weighted_doclen": r"""
+            SELECT lang,
+                   round(sum(CAST(n_chars * n_tokens AS DOUBLE))
+                         / greatest(CAST(sum(n_tokens) AS DOUBLE), 1.0),
+                         6) AS w_mean_len
+            FROM (
+                SELECT lang,
+                       length(text) AS n_chars,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS n_tokens
+                FROM documents
+            ) GROUP BY lang
         """,
         "dedup_exact_clusters": f"""
             SELECT doc_id,

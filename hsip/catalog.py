@@ -261,3 +261,57 @@ class Catalog:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.iceberg_catalog}.{ident}")
         elif os.path.exists(self._path(ident)):
             shutil.rmtree(self._path(ident))
+
+    # -- bucketed tables: co-located (exchange-free) joins ---------------
+    def _bucketed_name(self, ident: str) -> str:
+        # session-catalog table name for the sandbox bucketed path
+        return "hsip_bkt_" + ident.replace(".", "_")
+
+    def write_bucketed(self, df: DataFrame, ident: str, n_buckets: int,
+                       bucket_cols: list[str],
+                       sort_cols: list[str] | None = None) -> None:
+        """Bucket-clustered table write so repeated equi-joins and
+        aggregations on the bucket key run with ZERO exchange: two
+        tables written with the same ``n_buckets``/``bucket_cols`` join
+        by zipping bucket i of both sides task-by-task. At 100 TB this
+        removes the dominant shuffle of every fact-fact join against a
+        persisted index (e.g. delta-vs-index incremental dedup re-joins
+        the same band-key layout each batch).
+
+        Iceberg path: ``partitionedBy(bucket(N, col))`` — with
+        storage-partitioned joins
+        (``spark.sql.sources.v2.bucketing.enabled``) the cluster gets
+        the same exchange-free plan natively. Sandbox path: Spark's own
+        bucketed parquet tables (``bucketBy`` + ``sortBy`` +
+        ``saveAsTable``; bucket metadata lives in the session catalog).
+        The exchange-free plan is pinned by
+        tests/test_catalog_bucketed.py, with an unbucketed negative
+        control that DOES shuffle.
+        """
+        sort_cols = sort_cols or bucket_cols
+        if self.iceberg_catalog:
+            from pyspark.sql import functions as F
+
+            w = df.writeTo(f"{self.iceberg_catalog}.{ident}").partitionedBy(
+                *[F.bucket(n_buckets, F.col(c)) for c in bucket_cols]
+            )
+            w.createOrReplace()
+            return
+        name = self._bucketed_name(ident)
+        with self._lock(ident):
+            (
+                df.write.format("parquet")
+                .mode("overwrite")
+                .option("path", os.path.join(self._path(ident), "bucketed"))
+                .bucketBy(n_buckets, *bucket_cols)
+                .sortBy(*sort_cols)
+                .saveAsTable(name)
+            )
+
+    def read_bucketed(self, ident: str) -> DataFrame:
+        """Catalog-backed scan that preserves bucketing metadata (a plain
+        ``spark.read.parquet`` of the same files would forget the layout
+        and reintroduce the shuffle)."""
+        if self.iceberg_catalog:
+            return self.spark.read.table(f"{self.iceberg_catalog}.{ident}")
+        return self.spark.table(self._bucketed_name(ident))

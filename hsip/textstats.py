@@ -124,6 +124,25 @@ def char_ngram_profile(df: DataFrame, id_col: str, text_col: str, n: int = 3,
     )
 
 
+@pandas_udf(T.DoubleType())
+def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+    """U5 grouped-agg pandas UDAF (Series -> scalar inside ``agg``).
+
+    The one aggregate shape built-ins can't compose directly in a single
+    pass (sum(v*w)/sum(w) needs two aggregates + a projection; a UDAF
+    does it per group in one Arrow batch). Determinism note: callers
+    feed integer-valued columns, so the float64 products and sums are
+    exact (< 2^53) and the result is partition-order invariant — which
+    is what lets a SQL oracle reproduce it bit-for-bit. Spark ships the
+    WHOLE group to Python for a grouped-agg UDAF (no partial agg), so
+    this is for moderate group counts over big groups; prefer built-in
+    sum/sum composition when the expression is decomposable.
+    """
+    vv = v.to_numpy(dtype="float64")
+    ww = w.to_numpy(dtype="float64")
+    return float((vv * ww).sum() / max(ww.sum(), 1.0))
+
+
 def doc_rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
                             seed: int = 42) -> DataFrame:
     """64-bit whole-document fingerprint (xxhash64 of normalized text) plus

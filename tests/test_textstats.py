@@ -66,3 +66,33 @@ def test_fingerprint_deterministic(spark):
     rows = {r.id: r.fp64 for r in doc_rolling_fingerprint(df, "id", "text").collect()}
     assert rows["1"] == rows["2"]  # normalization-invariant
     assert rows["1"] != rows["3"]
+
+
+def test_weighted_mean_udaf_matches_sql_twin(spark):
+    """U5 grouped-agg pandas UDAF == the decomposed sum(v*w)/sum(w),
+    including the zero-weight group (denominator clamps to 1)."""
+    import pyspark.sql.functions as F
+
+    from hsip.textstats import weighted_mean
+
+    df = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 3), ("b", 5, 0), ("b", 7, 0), ("c", 100, 7)],
+        "g string, v long, w long",
+    ).repartition(4)
+    got = {
+        r.g: r.wm
+        for r in df.groupBy("g").agg(weighted_mean("v", "w").alias("wm")).collect()
+    }
+    want = {
+        r.g: r.wm
+        for r in df.groupBy("g")
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("w"))
+                / F.greatest(F.sum("w"), F.lit(1)).cast("double")
+            ).alias("wm")
+        )
+        .collect()
+    }
+    assert got == want
+    assert got["b"] == 0.0  # zero total weight -> 0, not NaN
