@@ -627,6 +627,23 @@ def embedding_near_dup_pairs(spark, sf_dir):
     )
 
 
+def semantic_dedup_clusters(spark, sf_dir):
+    """Semantic dedup (SemDeDup, Abbas et al. arXiv:2303.09540): cluster
+    vectors whose cosine >= 0.42 into connected components and flag one
+    keeper per component. Runs hsip.similarity.semantic_dedup at
+    n_cells=1 — the degenerate quantizer config whose within-cell
+    comparison covers EVERY pair, so the output has exact threshold-graph
+    semantics a DuckDB recursive-CTE CC can reproduce hash-for-hash
+    (labels are ints; the 0.42 boundary clears float noise by 1.7e-3 on
+    this fixture). The scale path (n_cells ~ N/target_cell_rows) is the
+    same code with its measured-recall tradeoff pinned in
+    tests/test_semantic_dedup.py."""
+    from hsip.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.42, n_cells=1)
+
+
 def embedding_label_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     norm = F.expr(
@@ -1102,6 +1119,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_neighbors": embedding_topk_neighbors,
         "ann_ivf_full_probe_topk": ann_ivf_full_probe_topk,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "semantic_dedup_clusters": semantic_dedup_clusters,
         "embedding_label_stats": embedding_label_stats,
         "token_counts": token_counts,
         "quality_signals": quality_signals,
@@ -1726,6 +1744,28 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM scored
             ) WHERE rk <= 3
+        """,
+        "semantic_dedup_clusters": """
+            WITH RECURSIVE p AS (
+                SELECT a.vec_id AS ia, b.vec_id AS ib
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                      >= 0.42
+            ),
+            edges AS (
+                SELECT ia AS src, ib AS dst FROM p
+                UNION ALL
+                SELECT ib AS src, ia AS dst FROM p
+            ),
+            reach(id, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+            )
+            SELECT id AS vec_id, min(r) AS cluster_id, id = min(r) AS keep
+            FROM reach GROUP BY id
         """,
         "embedding_near_dup_pairs": """
             SELECT id_a, id_b, round(cos, 6) AS cos FROM (

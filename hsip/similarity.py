@@ -153,6 +153,25 @@ def rhp_lsh_topk(emb: DataFrame, k: int, dim: int, n_bits: int = 64,
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 
+def _cell_assigner(ct: np.ndarray):
+    """Pandas UDF mapping a vector column to its nearest-centroid cell id
+    (one matmul per Arrow batch). ``ct`` is the (dim, n_cells) transposed
+    L2-normalized centroid matrix, closed over and shipped once per task."""
+
+    @pandas_udf(T.IntegerType())
+    def cell_of(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype=np.int32)
+                continue
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(nrm > 0, nrm, 1.0)
+            yield pd.Series((m @ ct).argmax(axis=1).astype(np.int32))
+
+    return cell_of
+
+
 def ivf_fit_centroids(emb: DataFrame, dim: int, n_cells: int = 16,
                       sample_limit: int = 4096, n_iter: int = 10,
                       seed: int = 42, id_col: str = "vec_id",
@@ -220,17 +239,7 @@ def ivf_topk(emb: DataFrame, probes: DataFrame, k: int, dim: int,
     n_cells = len(cents)
     n_probe = min(n_probe, n_cells)
     ct = cents.T.copy()
-
-    @pandas_udf(T.IntegerType())
-    def cell_of(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for vecs in it:
-            if len(vecs) == 0:
-                yield pd.Series([], dtype=np.int32)
-                continue
-            m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-            nrm = np.linalg.norm(m, axis=1, keepdims=True)
-            m = m / np.where(nrm > 0, nrm, 1.0)
-            yield pd.Series((m @ ct).argmax(axis=1).astype(np.int32))
+    cell_of = _cell_assigner(ct)
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -266,4 +275,117 @@ def ivf_topk(emb: DataFrame, probes: DataFrame, k: int, dim: int,
         .filter(F.col("rk") <= k)
         .select("q_id", F.col("n_id").alias("neighbor_id"),
                 F.round("cos", 6).alias("cos"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup — embedding-space near-duplicate removal (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(emb: DataFrame, threshold: float,
+                         dim: int | None = None, n_cells: int = 16,
+                         seed: int = 42, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         centroids: np.ndarray | None = None,
+                         recorder=None,
+                         block_bytes: int = 64 << 20) -> DataFrame:
+    """Within-cell cosine-threshold pairs, the candidate stage of
+    semantic dedup (Abbas et al., "SemDeDup", arXiv:2303.09540):
+    k-means-partition the embedding space with the same coarse quantizer
+    IVF uses (``ivf_fit_centroids`` — bounded driver-side sample, so fit
+    cost is constant at any corpus size), then compare vectors ONLY
+    against their own cell. Faithful to the paper, pairs that straddle a
+    cell boundary are missed by design — that is the approximation that
+    makes the all-pairs problem tractable; the measured recall of the
+    tradeoff is pinned in tests/test_semantic_dedup.py.
+
+    Plan shape for 100 TB: one shuffle of (id, cell, vector) — N rows,
+    each vector crossing exactly once — then a per-cell grouped-map that
+    computes the cosine matrix in blocked numpy matmuls and emits ONLY
+    the pairs above threshold (never the dense matrix). Pick
+    ``n_cells ~ N / target_cell_rows``: per-cell work is quadratic in
+    cell size, so cells are the unit of parallelism AND the cost knob.
+    The matmul block height adapts to ``block_bytes`` so scratch memory
+    stays flat regardless of cell size.
+
+    ``n_cells=1`` degenerates to exact all-pairs semantics (every pair
+    shares the one cell) — the oracle-verifiable configuration the
+    driver contract checks against a DuckDB threshold-graph baseline.
+    """
+    id_type = dict(emb.dtypes)[id_col]
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_cells <= 1:
+        cells = src.withColumn("cell", F.lit(0))
+    else:
+        cents = centroids if centroids is not None else ivf_fit_centroids(
+            emb, dim or len(emb.select(vec_col).first()[0]),
+            n_cells=n_cells, seed=seed, id_col=id_col, vec_col=vec_col,
+        )
+        cells = src.withColumn("cell", _cell_assigner(cents.T.copy())("v"))
+
+    thr = float(threshold)
+    budget = int(block_bytes)
+
+    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by id: positional upper-triangle then implies id_a < id_b
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        x = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(nrm > 0, nrm, 1.0)
+        step = max(1, budget // (8 * n))
+        out_a, out_b = [], []
+        for s in range(0, n, step):
+            sims = x[s:s + step] @ x.T  # (block, n)
+            ii, jj = np.nonzero(sims >= thr)
+            gi = ii + s
+            keep = jj > gi
+            out_a.append(ids[gi[keep]])
+            out_b.append(ids[jj[keep]])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    pairs = cells.groupBy("cell").applyInPandas(
+        emit_pairs, schema=f"id_a {id_type}, id_b {id_type}"
+    )
+    if recorder is not None:
+        sizes = cells.groupBy("cell").count()
+        stats = sizes.agg(
+            F.count(F.lit(1)).alias("nc"), F.max("count").alias("mx")
+        ).collect()[0]
+        recorder.metric("semantic_dedup", "n_cells", int(stats["nc"]))
+        recorder.metric("semantic_dedup", "max_cell_rows", int(stats["mx"]))
+    return pairs
+
+
+def semantic_dedup(emb: DataFrame, threshold: float, dim: int | None = None,
+                   n_cells: int = 16, seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids: np.ndarray | None = None, recorder=None,
+                   checkpoint_dir: str | None = None) -> DataFrame:
+    """Full semantic dedup: threshold-graph pairs (within IVF cells) ->
+    connected components -> one keeper per cluster. Returns
+    (id_col, cluster_id, keep): cluster_id is the component-min id (the
+    X2 convention), keep is true exactly for that representative — the
+    rows a training pipeline retains. Singleton vectors keep themselves.
+    """
+    from .cc import assign_clusters
+
+    pairs = semantic_dedup_pairs(
+        emb, threshold, dim=dim, n_cells=n_cells, seed=seed, id_col=id_col,
+        vec_col=vec_col, centroids=centroids, recorder=recorder,
+    )
+    clusters = assign_clusters(
+        emb.select(F.col(id_col).alias("id")),
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+        checkpoint_dir=checkpoint_dir,
+    )
+    return clusters.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
     )
