@@ -568,6 +568,32 @@ def shingle_counts(spark, sf_dir):
     )
 
 
+def doc_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality filters: most-frequent-2-gram share
+    and duplicate-3-gram fraction per document (hsip.textstats
+    .repetition_signals). id column renamed doc_id for the oracle."""
+    from hsip.textstats import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text").select(
+        F.col("id").cast("long").alias("doc_id"),
+        "top_2gram_frac",
+        "dup_3gram_frac",
+    )
+
+
+def decontam_flagged_docs(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word-4-gram with the
+    deterministic eval slice (doc_id % 7 == 0). One row per flagged
+    non-eval doc with its distinct shared-gram count."""
+    from hsip.textstats import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs, "doc_id", "text", F.col("doc_id") % 7 == 0, k=4
+    ).select(F.col("id").cast("long").alias("doc_id"), "n_shared_4grams")
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search (brute-force cosine top-k baseline)
 # ---------------------------------------------------------------------------
@@ -1111,6 +1137,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_fingerprints": doc_fingerprints,
         "shingle_counts": shingle_counts,
+        "doc_repetition_signals": doc_repetition_signals,
+        "decontam_flagged_docs": decontam_flagged_docs,
         "minhash_e2e_clusters": minhash_e2e_clusters,
         "substr_pairs": substr_pairs,
         "doc_chunks": doc_chunks,
@@ -1446,6 +1474,48 @@ def oracle_sql() -> dict[str, str]:
                        )
                    )) ELSE 0 END AS BIGINT) AS n_shingles
             FROM t
+        """,
+        "doc_repetition_signals": f"""
+            WITH t AS (SELECT doc_id, string_split({norm_text}, ' ') AS toks
+                       FROM documents),
+            g2 AS (
+                SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+                FROM t, UNNEST(range(1, len(toks))) AS u(i)
+                WHERE len(toks) >= 2
+            ),
+            c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+            a2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS f2
+                   FROM c2 GROUP BY 1),
+            r3 AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN
+                           1.0 - CAST(len(list_distinct(list_transform(
+                                 range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+                               / (len(toks) - 2)
+                       ELSE 0.0 END AS f3
+                FROM t
+            )
+            SELECT t.doc_id,
+                   round(coalesce(a2.f2, 0.0), 6) AS top_2gram_frac,
+                   round(r3.f3, 6) AS dup_3gram_frac
+            FROM t LEFT JOIN a2 USING (doc_id) JOIN r3 USING (doc_id)
+        """,
+        "decontam_flagged_docs": f"""
+            WITH t AS (SELECT doc_id, string_split({norm_text}, ' ') AS toks
+                       FROM documents),
+            g AS (
+                SELECT doc_id, u.g FROM t,
+                UNNEST(list_distinct(list_transform(
+                    range(1, len(toks) - 2),
+                    i -> array_to_string(toks[i:i+3], ' ')))) AS u(g)
+                WHERE len(toks) >= 4
+            ),
+            ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+            corp AS (SELECT doc_id, g FROM g WHERE doc_id % 7 <> 0)
+            SELECT corp.doc_id, count(*) AS n_shared_4grams
+            FROM corp JOIN ev USING (g)
+            GROUP BY 1
         """,
         "doc_chunks": f"""
             WITH t AS (

@@ -165,4 +165,4 @@ def incremental_verified_pairs(
             new_feats.select("id"), "id", "left_anti"
         )
     )
-    return V.verify_jaccard(pairs, all_shingles, cfg)
+    return V.verify_jaccard(pairs, all_shingles, cfg, scratch=scratch)

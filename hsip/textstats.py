@@ -153,3 +153,99 @@ def doc_rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
         F.xxhash64(norm, F.lit(seed)).alias("fp64"),
         F.xxhash64(F.substring(norm, 1, 256), F.lit(seed)).alias("fp_prefix256"),
     )
+
+
+def _word_ngrams(toks: Column, k: int) -> Column:
+    """Array of space-joined word k-grams of an already-split token array;
+    empty array when the doc has fewer than k tokens (guards Spark's
+    descending-sequence quirk: sequence(0, -1) would yield [0, -1])."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(F.size(toks) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al. '21,
+    app. A1.1, simplified to gram counts): per document,
+
+    - ``top_2gram_frac`` — share of all word-2-grams taken by the single
+      most frequent 2-gram (boilerplate/chorus detector);
+    - ``dup_3gram_frac`` — fraction of word-3-grams that are repeats of
+      an earlier 3-gram in the same doc.
+
+    Plan: the 3-gram fraction is array-native (``array_distinct`` inside
+    the row — zero shuffle); the top-2-gram frequency explodes grams and
+    runs two keyed aggregations on (id, gram) then (id) — partial
+    (map-side) aggregation applies and the key space is ~tokens-per-doc
+    wide, so it scales with corpus size, never quadratically per doc."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    base = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.split(norm, " ").alias("toks"),
+    )
+    g3 = _word_ngrams(F.col("toks"), 3)
+    rep3 = base.select(
+        "id",
+        F.when(
+            F.size("toks") >= 3,
+            F.round(
+                1.0 - F.size(F.array_distinct(g3))
+                / (F.size("toks") - F.lit(2)).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+    )
+    counts2 = (
+        base.select("id", F.explode(_word_ngrams(F.col("toks"), 2)).alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    agg2 = counts2.groupBy("id").agg(
+        (F.max("c") / F.sum("c")).alias("f2")
+    )
+    return (
+        rep3.join(agg2, "id", "left")
+        .select(
+            "id",
+            F.round(F.coalesce(F.col("f2"), F.lit(0.0)), 6).alias("top_2gram_frac"),
+            "dup_3gram_frac",
+        )
+    )
+
+
+def decontaminate(df: DataFrame, id_col: str, text_col: str,
+                  is_eval: Column, k: int = 4) -> DataFrame:
+    """Benchmark-decontamination sweep (the GPT-3/PaLM appendix protocol:
+    flag training docs sharing any word n-gram with a held-out eval set).
+
+    ``is_eval`` marks the eval slice; the result is one row per NON-eval
+    doc that shares >= 1 distinct word ``k``-gram with ANY eval doc, with
+    the count of distinct shared grams.
+
+    Plan: distinct grams per side (``array_distinct`` before explode keeps
+    the exploded row count bounded by tokens-per-doc), equi-join on the
+    gram string — AQE turns it into a broadcast join whenever the eval
+    side is small (the common case: eval benchmarks are ~1e4 docs vs 1e9
+    training docs), and the final count is a keyed agg with map-side
+    partials. The corpus side never self-joins."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    grams = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        is_eval.alias("is_eval"),
+        F.explode(
+            F.array_distinct(_word_ngrams(F.split(norm, " "), k))
+        ).alias("g"),
+    )
+    ev = grams.filter("is_eval").select("g").distinct()
+    corp = grams.filter(~F.col("is_eval")).select("id", "g")
+    return (
+        corp.join(ev, "g")
+        .groupBy("id")
+        .agg(F.count("*").alias(f"n_shared_{k}grams"))
+    )

@@ -112,7 +112,8 @@ def test_incremental_releases_scratch_caches(spark, corpus):
         scratch=scratch,
     )
     n = verified.filter("verdict").count()
-    assert n >= 3 and len(scratch) == 3  # feats + bands + idx_hit
+    # feats + bands + idx_hit + verify_jaccard's pair materialization
+    assert n >= 3 and len(scratch) == 4
     for c in scratch:
         c.unpersist()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (

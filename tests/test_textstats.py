@@ -96,3 +96,44 @@ def test_weighted_mean_udaf_matches_sql_twin(spark):
     }
     assert got == want
     assert got["b"] == 0.0  # zero total weight -> 0, not NaN
+
+
+def test_repetition_signals(spark):
+    from hsip.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb aa"),   # 2-grams: aa-bb x2, bb-aa x2; 3-grams: 2 distinct of 3
+            (2, "a b c d"),          # all 2-grams unique; no duplicate 3-grams
+            (3, "x"),                # too short for any grams
+        ],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in repetition_signals(df, "id", "text").collect()}
+    assert rows["1"].top_2gram_frac == 0.5
+    assert rows["1"].dup_3gram_frac == 0.333333
+    assert rows["2"].top_2gram_frac == 0.333333
+    assert rows["2"].dup_3gram_frac == 0.0
+    assert rows["3"].top_2gram_frac == 0.0
+    assert rows["3"].dup_3gram_frac == 0.0
+
+
+def test_decontaminate(spark):
+    from pyspark.sql import functions as F
+
+    from hsip.textstats import decontaminate
+
+    df = spark.createDataFrame(
+        [
+            (0, "one two three four five"),      # eval
+            (1, "zzz one two three four yyy"),   # shares "one two three four"
+            (2, "totally unrelated words here"), # clean
+            (3, "one two three four one two three four"),  # repeats collapse to 1 DISTINCT shared gram
+        ],
+        "id int, text string",
+    )
+    out = {
+        r.id: r.n_shared_4grams
+        for r in decontaminate(df, "id", "text", F.col("id") == 0, k=4).collect()
+    }
+    assert out == {"1": 1, "3": 1}
