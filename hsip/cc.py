@@ -74,7 +74,8 @@ def connected_components(
     recomputing a truncated lineage that no longer exists (SURVEY
     §4.2.3; VERDICT.md r1 finding 7).
     """
-    sc = edges.sparkSession.sparkContext
+    spark = edges.sparkSession
+    sc = spark.sparkContext
     if checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
 
@@ -84,20 +85,44 @@ def connected_components(
         def _trunc(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    e = _trunc(
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    prev = _checksum(e)
-    for rnd in range(max_iter):
-        sc.setJobDescription(f"hsip:cc_round_{rnd}")
-        e = _trunc(_small_star(_large_star(e)))
-        cur = _checksum(e)
-        sc.setJobDescription(None)
-        if cur == prev:
-            break
-        prev = cur
+    # Latency-tune the iterative loop: each round is tiny (the edge set
+    # shrinks toward one row per member) but drives 5-6 exchanges, and
+    # with AQE every exchange becomes its own stage-materialization job —
+    # ~10 driver round-trips per round, a pure serial floor that the
+    # event-log decomposition (BENCH/BASELINE.md round 5) measured at
+    # ~16 s per run regardless of executor count. AQE's runtime re-plan
+    # buys nothing here (sizes are known-small after round 0), so run
+    # the loop with AQE off and a small fixed shuffle width instead.
+    _tuned = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": str(
+            max(8, 2 * sc.defaultParallelism)
+        ),
+    }
+    _saved = {k: spark.conf.get(k, None) for k in _tuned}
+    for k, v in _tuned.items():
+        spark.conf.set(k, v)
+    try:
+        e = _trunc(
+            edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        prev = _checksum(e)
+        for rnd in range(max_iter):
+            sc.setJobDescription(f"hsip:cc_round_{rnd}")
+            e = _trunc(_small_star(_large_star(e)))
+            cur = _checksum(e)
+            sc.setJobDescription(None)
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        for k, v in _saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     # converged: star graphs, every edge points (member -> component min)
     members = e.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))
     roots = e.select(F.col("dst").alias("id")).distinct().withColumn(

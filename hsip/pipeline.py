@@ -348,6 +348,21 @@ def run_documents(
     verified_parts = _run_channels(spark, builders)
 
     verified = stage("verified", lambda: V.combine_verified(*verified_parts))
+    if not use_ckpt and eager_barriers:
+        # Ephemeral mode keeps the full 3-channel logical plan behind the
+        # cached `verified`; every downstream action (metric counts, the
+        # CC seed job, representatives) re-runs Catalyst over that
+        # thousand-node plan — the event-log decomposition measured a
+        # ~14 s pure-driver gap on the 2.76M-turn corpus just planning
+        # the CC seed (BENCH/BASELINE.md round 5). Truncate to a flat
+        # scan: eager localCheckpoint reads straight from the cache just
+        # materialized, then the cache itself is released below.
+        # (Checkpoint mode already reads back from parquet — flat plan.)
+        _t0 = time.time()
+        flat = verified.localCheckpoint(eager=True)
+        verified.unpersist()
+        verified = flat
+        stage_walls["verified_truncate"] = round(time.time() - _t0, 3)
     # `verified` just materialized (cache+count or checkpoint write), so
     # every feature/band/bucket cache has served its last consumer —
     # release executor storage before CC runs (VERDICT.md r3 item 5).
