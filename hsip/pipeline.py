@@ -18,6 +18,7 @@ stage checkpoint write (or cache for ephemeral runs). Candidate channels:
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -195,26 +196,49 @@ def run_documents(
     # (VERDICT.md r3 item 5). Threads only append (GIL-atomic).
     scratch: list[DataFrame] = []
 
-    shingles = sigs = simhashes = None
-    if cfg.fused_kernel and (need_mh or need_sh):
-        # one Arrow pass computes shingles+sig+simhash (textkernel.py)
-        feats = stage("features", lambda: featurize(base, "id", "text", cfg))
-        scratch.append(feats)
-        shingles = feats.select("id", "shingles")
-        sigs = feats.select("id", "sig")
-        simhashes = feats.select("id", "simhash")
-    else:
-        if need_mh:
-            shingles = stage("shingles", lambda: shingle_docs(base, "id", "text", cfg))
-            sigs = stage("minhash", lambda: attach_minhash(shingles, cfg), reuse=False)
-            scratch.append(shingles)
-        if need_sh:
-            simhashes = stage(
-                "simhash", lambda: attach_simhash(base, "id", "text", cfg)
-            )
-            scratch.append(simhashes)
+    # Featurization is built LAZILY, inside whichever channel builder
+    # consumes it (exactly one does in every configuration), so the
+    # substring channel — which reads only `base` — starts at t=0 and
+    # overlaps the featurization pass instead of waiting behind it.
+    # On a 1-slot rung this changes nothing (work serializes anyway);
+    # on multi-executor rungs it removes the featurize stage from the
+    # pipeline's critical path (BENCH/BASELINE.md round 5: ~107 s of
+    # 4-slot wall at 2.76M turns ran before the channels forked). The
+    # lock makes the once-init safe if a future config ever shares the
+    # feature frames across two builder threads.
+    shingles = sigs = simhashes = feats = None
+    _feat_lock = threading.Lock()
+
+    def _ensure_features():
+        nonlocal shingles, sigs, simhashes, feats
+        with _feat_lock:
+            if shingles is not None or simhashes is not None:
+                return
+            if cfg.fused_kernel and (need_mh or need_sh):
+                # one Arrow pass computes shingles+sig+simhash (textkernel.py)
+                feats = stage("features", lambda: featurize(base, "id", "text", cfg))
+                scratch.append(feats)
+                shingles = feats.select("id", "shingles")
+                sigs = feats.select("id", "sig")
+                simhashes = feats.select("id", "simhash")
+            else:
+                if need_mh:
+                    shingles = stage(
+                        "shingles", lambda: shingle_docs(base, "id", "text", cfg)
+                    )
+                    sigs = stage(
+                        "minhash", lambda: attach_minhash(shingles, cfg), reuse=False
+                    )
+                    scratch.append(shingles)
+                if need_sh:
+                    simhashes = stage(
+                        "simhash", lambda: attach_simhash(base, "id", "text", cfg)
+                    )
+                    scratch.append(simhashes)
 
     def _mh_channel() -> DataFrame:
+        _ensure_features()
+
         def build_lsh():
             pairs, hot = lsh_candidates(sigs, cfg, scratch=scratch)
             if rec:
@@ -231,6 +255,8 @@ def run_documents(
         )
 
     def _sh_channel() -> DataFrame:
+        _ensure_features()
+
         def build_sim():
             pairs, hot = simhash_candidates(simhashes, cfg, scratch=scratch)
             if rec:
@@ -251,6 +277,7 @@ def run_documents(
         cached features table — roughly half the shuffle stages of the
         two separate chains, with identical pairs and verdicts (pinned by
         tests/test_e2e_oracle.py's 3-channel brute-force oracle)."""
+        _ensure_features()
 
         def build_cands():
             mh = band_table(sigs, cfg).select(

@@ -98,3 +98,20 @@ def test_reliable_checkpoint_same_clusters(spark, tmp_path):
         ).collect()
     }
     assert local == reliable
+
+
+def test_cc_restores_session_confs(spark):
+    """The latency-tuned loop (AQE off, fixed small shuffle width) must
+    restore the session confs afterward — including on convergence at
+    round 0 — so bulk stages after CC keep their AQE/runtime settings."""
+    from hsip.cc import connected_components
+
+    before = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "a string, b string")
+    got = {(r.id, r.cluster_id) for r in connected_components(edges).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a")}
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before
