@@ -32,6 +32,54 @@ def _norm(col):
 
 _NORM_SQL = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
 
+# Shared DuckDB CTE: the _docs_as_turns corpus (30-token chunk grid over
+# normalized documents text + planted stale turn-0 re-writes) deduped to
+# the latest-ts turn version — the C1 input both transcript oracles
+# (roundtrip + equality audit) build on. Ends at ``dedup``; callers
+# append further CTEs with a leading comma.
+_TURNS_DEDUP_CTE = f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split({_NORM_SQL.format(c='text')}, ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) = 0 THEN 0
+                            WHEN len(toks) <= 30 THEN 1
+                            ELSE CAST(ceil(len(toks) / 30.0) AS INT)
+                       END AS nc
+                FROM t
+            ),
+            e AS (
+                SELECT doc_id, toks, unnest(range(0, nc)) AS turn_idx
+                FROM n
+            ),
+            turns AS (
+                SELECT doc_id AS conv_id, turn_idx,
+                       array_to_string(
+                           toks[turn_idx * 30 + 1 : turn_idx * 30 + 30], ' '
+                       ) AS text,
+                       to_timestamp(turn_idx) AS ts
+                FROM e
+            ),
+            with_stale AS (
+                SELECT conv_id, turn_idx, text, ts FROM turns
+                UNION ALL
+                SELECT conv_id, turn_idx, 'STALE::' || text,
+                       to_timestamp(-1000)
+                FROM turns WHERE turn_idx = 0
+            ),
+            dedup AS (
+                SELECT conv_id, turn_idx, text FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx ORDER BY ts DESC
+                    ) AS rn
+                    FROM with_stale
+                ) WHERE rn = 1
+            )"""
+
 
 def _attach_rank(top: DataFrame, metric: str, key: str) -> DataFrame:
     """rk over an already-top-k frame WITHOUT a global window.
@@ -727,6 +775,93 @@ def lang_weighted_doclen(spark, sf_dir):
     )
 
 
+def doc_length_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles (PERCENTILE_CONT semantics
+    via Spark's `percentile`) of whitespace token counts per language —
+    the length-distribution profile a corpus-curation pass cuts
+    thresholds from. Exact rather than approx so DuckDB's quantile_cont
+    reproduces the values; both engines round onto a shared grid. The agg
+    shuffles once on `lang` with map-side partial aggregation."""
+    from hsip.normalize import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", F.size(tokens_col(_norm(F.col("text")))).alias("n_tokens")
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_tokens, 0.99)"), 4).alias("p99"),
+    )
+
+
+def paragraph_dup_stats(spark, sf_dir):
+    """Paragraph-level exact dedup (the C4/CCNet removal unit): 10-token
+    non-overlapping windows of normalized text, md5-fingerprinted; any
+    window seen more than once corpus-wide is a removal candidate. One
+    shuffle of narrow (hash, doc_id) pairs — the window text itself never
+    shuffles — so bytes-on-the-wire scale with corpus token count, not
+    text size squared."""
+    from hsip.chunking import chunk_docs
+    from hsip.normalize import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    paras = chunk_docs(
+        docs, "doc_id", tokens_col(_norm(F.col("text"))), chunk_size=10, overlap=0
+    )
+    return (
+        paras.select(F.md5("chunk_text").alias("para_md5"), "id")
+        .groupBy("para_md5")
+        .agg(
+            F.count("*").cast("int").alias("n_occurrences"),
+            F.countDistinct("id").cast("int").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+
+
+def orders_priority_quartiles(spark, sf_dir):
+    """ntile(4) quartile cuts within each order-priority partition (Q12
+    window-ranking family, the one ranking fn rollup/rank/lag didn't
+    cover). Partitioned by priority — never a global single-partition
+    window — with a (price DESC, key ASC) total order so tile assignment
+    is deterministic in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    q = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return q.groupBy("o_orderpriority", "quartile").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+def orders_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (Q4 family beyond ROLLUP/CUBE): per-status,
+    per-priority, and grand-total aggregates in one logical pass — Spark
+    expands to a single Expand+HashAggregate, no self-union of scans."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only checks (hash-specific / iterative / sampling — no SQL oracle)
 # ---------------------------------------------------------------------------
@@ -972,22 +1107,42 @@ def substr_pairs(spark, sf_dir):
 
 
 def transcript_turn_equality_audit(spark, sf_dir):
-    """Invariant check (BASELINE.json:15): per-turn byte-exact text
-    equality under stable ordering. Returns VIOLATIONS — must be empty."""
-    from hsip.fixtures.gen import gen_transcripts, to_spark
-    from hsip.reassemble import (
-        audit_turn_equality,
-        dedupe_turn_versions,
-        explode_turns,
-        reassemble,
-    )
+    """C3 invariant (BASELINE.json:15), oracle-verified over SHARED data:
+    per-turn byte-exact text equality under stable ordering. Dedupe the
+    _docs_as_turns corpus (C1), reassemble (C2), recover turns by
+    re-splitting ``doc_text`` on the turn separator (stronger than
+    exploding the kept struct array — it audits the concat itself), and
+    emit one summary row per conversation: n_turns (varies per conv, so
+    the value-hash is non-vacuous) and n_violations (anti-join both
+    directions; the invariant demands 0). DuckDB re-executes the same
+    audit with string_agg + zipped unnest + EXCEPT ALL."""
+    from hsip.reassemble import dedupe_turn_versions, reassemble
 
-    gen = gen_transcripts(seed=42, n_base=100)
-    turns, _ = to_spark(spark, gen)
-    deduped = dedupe_turn_versions(turns)
-    ours = explode_turns(reassemble(deduped))
-    return audit_turn_equality(ours, deduped).unionByName(
-        audit_turn_equality(deduped, ours)
+    deduped = dedupe_turn_versions(_docs_as_turns(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "text"
+    )
+    recovered = reassemble(
+        dedupe_turn_versions(_docs_as_turns(spark, sf_dir))
+    ).select(
+        "conv_id",
+        F.posexplode(F.split("doc_text", "\n", -1)).alias("turn_idx", "text"),
+    )
+    lost = deduped.exceptAll(recovered)
+    extra = recovered.exceptAll(deduped)
+    viol = (
+        lost.unionByName(extra)
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("int").alias("n_violations"))
+    )
+    return (
+        deduped.groupBy("conv_id")
+        .agg(F.count("*").cast("int").alias("n_turns"))
+        .join(viol, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce("n_violations", F.lit(0)).cast("int").alias("n_violations"),
+        )
     )
 
 
@@ -1152,6 +1307,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts,
         "quality_signals": quality_signals,
         "lang_weighted_doclen": lang_weighted_doclen,
+        "doc_length_percentiles": doc_length_percentiles,
+        "paragraph_dup_stats": paragraph_dup_stats,
+        "orders_priority_quartiles": orders_priority_quartiles,
+        "orders_grouping_sets": orders_grouping_sets,
         # rows-only
         "lang_id_heuristic": lang_id_heuristic,
         "ann_rhp_lsh_topk": ann_rhp_lsh_topk,
@@ -1243,6 +1402,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(o_totalprice), 2) AS total
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "orders_grouping_sets": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        # ntile is deterministic here because (price DESC, key ASC) is a
+        # total order; both engines assign the +1-sized tiles first
+        "orders_priority_quartiles": """
+            WITH q AS (
+                SELECT o_orderpriority, o_totalprice,
+                       ntile(4) OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS quartile
+                FROM orders
+            )
+            SELECT o_orderpriority, quartile, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi
+            FROM q GROUP BY o_orderpriority, quartile
         """,
         "explode_token_frequencies": f"""
             WITH toks AS (
@@ -1406,6 +1590,55 @@ def oracle_sql() -> dict[str, str]:
                                        x -> x <> '')) AS n_tokens
                 FROM documents
             ) GROUP BY lang
+        """,
+        # quantile_cont == Spark's exact `percentile`: both linearly
+        # interpolate at rank (n-1)*p over the sorted values
+        "doc_length_percentiles": f"""
+            WITH t AS (
+                SELECT lang,
+                       len(list_filter(
+                           string_split({_NORM_SQL.format(c='text')}, ' '),
+                           x -> x <> '')) AS n_tokens
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+                   round(quantile_cont(n_tokens, 0.9), 4) AS p90,
+                   round(quantile_cont(n_tokens, 0.99), 4) AS p99
+            FROM t GROUP BY lang
+        """,
+        # same 10-token chunk grid as chunk_docs(chunk_size=10, overlap=0)
+        "paragraph_dup_stats": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split({_NORM_SQL.format(c='text')}, ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) = 0 THEN 0
+                            WHEN len(toks) <= 10 THEN 1
+                            ELSE CAST(ceil(len(toks) / 10.0) AS INT)
+                       END AS nc
+                FROM t
+            ),
+            e AS (
+                SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_idx
+                FROM n
+            ),
+            paras AS (
+                SELECT doc_id AS id,
+                       md5(array_to_string(
+                           toks[chunk_idx * 10 + 1 : chunk_idx * 10 + 10], ' '
+                       )) AS para_md5
+                FROM e
+            )
+            SELECT para_md5,
+                   CAST(count(*) AS INT) AS n_occurrences,
+                   CAST(count(DISTINCT id) AS INT) AS n_docs
+            FROM paras GROUP BY para_md5
+            HAVING count(*) >= 2
         """,
         "dedup_exact_clusters": f"""
             SELECT doc_id,
@@ -1599,52 +1832,54 @@ def oracle_sql() -> dict[str, str]:
         # doc_chunks (overlap 0), stale turn-0 re-writes dropped by
         # latest-ts row_number, conversations rebuilt with an ordered
         # string_agg — value-hash match pins the reassembly invariant
-        "transcript_reassembly_roundtrip": f"""
-            WITH t AS (
-                SELECT doc_id,
-                       list_filter(string_split({norm_text}, ' '),
-                                   x -> x <> '') AS toks
-                FROM documents
-            ),
-            n AS (
-                SELECT doc_id, toks,
-                       CASE WHEN len(toks) = 0 THEN 0
-                            WHEN len(toks) <= 30 THEN 1
-                            ELSE CAST(ceil(len(toks) / 30.0) AS INT)
-                       END AS nc
-                FROM t
-            ),
-            e AS (
-                SELECT doc_id, toks, unnest(range(0, nc)) AS turn_idx
-                FROM n
-            ),
-            turns AS (
-                SELECT doc_id AS conv_id, turn_idx,
-                       array_to_string(
-                           toks[turn_idx * 30 + 1 : turn_idx * 30 + 30], ' '
-                       ) AS text,
-                       to_timestamp(turn_idx) AS ts
-                FROM e
-            ),
-            with_stale AS (
-                SELECT conv_id, turn_idx, text, ts FROM turns
-                UNION ALL
-                SELECT conv_id, turn_idx, 'STALE::' || text,
-                       to_timestamp(-1000)
-                FROM turns WHERE turn_idx = 0
-            ),
-            dedup AS (
-                SELECT conv_id, turn_idx, text FROM (
-                    SELECT *, row_number() OVER (
-                        PARTITION BY conv_id, turn_idx ORDER BY ts DESC
-                    ) AS rn
-                    FROM with_stale
-                ) WHERE rn = 1
-            )
+        "transcript_reassembly_roundtrip": _TURNS_DEDUP_CTE + """
             SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
                    md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS doc_md5
             FROM dedup
             GROUP BY conv_id
+        """,
+        # C3 audit re-executed in SQL: reassemble with ordered string_agg,
+        # recover turns by re-splitting on the separator (zipped unnests),
+        # count per-conv anti-join violations in both directions — the
+        # invariant demands 0 while n_turns varies, so the value-hash
+        # compares real per-conversation structure, not a vacuous empty set
+        "transcript_turn_equality_audit": _TURNS_DEDUP_CTE + """,
+            reassembled AS (
+                SELECT conv_id,
+                       string_agg(text, chr(10) ORDER BY turn_idx) AS doc_text
+                FROM dedup GROUP BY conv_id
+            ),
+            recovered AS (
+                SELECT conv_id,
+                       unnest(range(0, len(parts))) AS turn_idx,
+                       unnest(parts) AS text
+                FROM (
+                    SELECT conv_id, string_split(doc_text, chr(10)) AS parts
+                    FROM reassembled
+                )
+            ),
+            viol AS (
+                SELECT conv_id FROM (
+                    (SELECT conv_id, turn_idx, text FROM dedup
+                     EXCEPT ALL
+                     SELECT conv_id, turn_idx, text FROM recovered)
+                    UNION ALL
+                    (SELECT conv_id, turn_idx, text FROM recovered
+                     EXCEPT ALL
+                     SELECT conv_id, turn_idx, text FROM dedup)
+                )
+            ),
+            vc AS (
+                SELECT conv_id, CAST(count(*) AS INT) AS n_violations
+                FROM viol GROUP BY conv_id
+            ),
+            counts AS (
+                SELECT conv_id, CAST(count(*) AS INT) AS n_turns
+                FROM dedup GROUP BY conv_id
+            )
+            SELECT counts.conv_id, counts.n_turns,
+                   CAST(coalesce(vc.n_violations, 0) AS INT) AS n_violations
+            FROM counts LEFT JOIN vc ON counts.conv_id = vc.conv_id
         """,
         # metadata-driven frame-sampling plan: frame geometry derives
         # deterministically from documents so both engines replay the
