@@ -484,6 +484,31 @@ def dedup_exact_pairs(spark, sf_dir):
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
 
 
+def fuzzy_part_name_pairs(spark, sf_dir):
+    """Record-linkage fuzzy matching (Fellegi-Sunter block->compare) over
+    DISTINCT part names: blocked Levenshtein via hsip/linkage.py. The
+    blocking key (trailing noun) reuses the generic bucket->pair
+    expansion (lsh.pairs_from_buckets); compare is JVM-side
+    F.levenshtein — compare cost scales with distinct names, never
+    corpus rows."""
+    from hsip.linkage import fuzzy_name_pairs
+
+    part = _t(spark, sf_dir, "part")
+    scratch: list = []
+    out = (
+        fuzzy_name_pairs(part, "p_name", max_dist=3, scratch=scratch)
+        .select(
+            "name_a", "name_b", "n_a", "n_b",
+            F.col("dist").cast("long").alias("dist"),
+        )
+        .cache()
+    )
+    out.count()
+    for c in scratch:
+        c.unpersist()
+    return out
+
+
 def token_jaccard_pairs(spark, sf_dir):
     """Blocked n-gram-Jaccard matching, fully SQL-expressible (V2 oracle).
 
@@ -1286,6 +1311,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # documents / text analysis / dedup oracles
         "dedup_exact_clusters": dedup_exact_clusters,
         "dedup_exact_pairs": dedup_exact_pairs,
+        "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
         "token_jaccard_pairs": token_jaccard_pairs,
         "doc_stats": doc_stats,
         "lang_profile": lang_profile,
@@ -1650,6 +1676,19 @@ def oracle_sql() -> dict[str, str]:
             WITH h AS (SELECT doc_id, md5({norm_text}) AS hh FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
+        """,
+        "fuzzy_part_name_pairs": """
+            WITH names AS (
+                SELECT p_name AS name, count(*) AS n,
+                       regexp_extract(p_name, '[a-z]+$') AS blk
+                FROM part GROUP BY p_name
+            )
+            SELECT a.name AS name_a, b.name AS name_b,
+                   a.n AS n_a, b.n AS n_b,
+                   levenshtein(a.name, b.name) AS dist
+            FROM names a JOIN names b
+              ON a.blk = b.blk AND a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 3
         """,
         "token_jaccard_pairs": f"""
             WITH d AS (
