@@ -509,6 +509,37 @@ def fuzzy_part_name_pairs(spark, sf_dir):
     return out
 
 
+def pii_redacted_docs(spark, sf_dir):
+    """PII redaction (hsip/redact.py) — regexp mask + audit counts, pure
+    JVM codegen, zero shuffle. The corpus is synthetic word-soup with no
+    natural PII, so the query plants deterministic doc_id-derived
+    contact strings (email/phone/ip/id, each present on a different
+    doc_id modulus) into the text FIRST — both engines build the same
+    string, so the oracle hash pins the full regex-replace + count
+    semantics on varying data, not on an all-zeros no-op."""
+    from hsip.redact import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 != 0, F.concat(
+            F.lit(" reach user"), did.cast("string"), F.lit("@example.org"))
+        ).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.concat(
+            F.lit(" call 555-867-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"))
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".7"))
+        ).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" id 123-45-6789")).otherwise(F.lit("")),
+    )
+    return redact_pii(docs.select("doc_id", aug.alias("aug")), "aug").select(
+        "doc_id", "text_redacted", "n_email", "n_phone", "n_ipv4", "n_idnum"
+    )
+
+
 def token_jaccard_pairs(spark, sf_dir):
     """Blocked n-gram-Jaccard matching, fully SQL-expressible (V2 oracle).
 
@@ -1312,6 +1343,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_clusters": dedup_exact_clusters,
         "dedup_exact_pairs": dedup_exact_pairs,
         "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
+        "pii_redacted_docs": pii_redacted_docs,
         "token_jaccard_pairs": token_jaccard_pairs,
         "doc_stats": doc_stats,
         "lang_profile": lang_profile,
@@ -1360,7 +1392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from hsip.redact import redaction_oracle_sql
+
     norm_text = _NORM_SQL.format(c="text")
+    redact_cols = redaction_oracle_sql("aug")
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1690,6 +1725,26 @@ def oracle_sql() -> dict[str, str]:
               ON a.blk = b.blk AND a.name < b.name
             WHERE levenshtein(a.name, b.name) <= 3
         """,
+        "pii_redacted_docs": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 <> 0
+                               THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                                    || '@example.org' ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' call 555-867-'
+                                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                    || '.7' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' id 123-45-6789' ELSE '' END AS aug
+                FROM documents
+            )
+            SELECT doc_id, {{redact_cols}} FROM aug
+        """.format(redact_cols=redact_cols),
         "token_jaccard_pairs": f"""
             WITH d AS (
                 SELECT doc_id, lang, source,
