@@ -540,6 +540,27 @@ def pii_redacted_docs(spark, sf_dir):
     )
 
 
+def doc_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction (hsip/textstats.py tfidf_top_terms):
+    smoothed-idf top-3 terms per doc, deterministic tie-break on term."""
+    from hsip.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def doc_split_assignment(spark, sf_dir):
+    """Deterministic content-addressed train/val/test split
+    (hsip/splits.py): md5-bucket assignment, stable across reruns,
+    repartitions, and incremental appends — pure projection."""
+    from hsip.splits import assign_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_split(docs, "doc_id", salt="exp1")
+
+
 def token_jaccard_pairs(spark, sf_dir):
     """Blocked n-gram-Jaccard matching, fully SQL-expressible (V2 oracle).
 
@@ -1344,6 +1365,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_pairs": dedup_exact_pairs,
         "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
         "pii_redacted_docs": pii_redacted_docs,
+        "doc_tfidf_top_terms": doc_tfidf_top_terms,
+        "doc_split_assignment": doc_split_assignment,
         "token_jaccard_pairs": token_jaccard_pairs,
         "doc_stats": doc_stats,
         "lang_profile": lang_profile,
@@ -1393,9 +1416,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from hsip.redact import redaction_oracle_sql
+    from hsip.splits import split_oracle_sql
 
     norm_text = _NORM_SQL.format(c="text")
     redact_cols = redaction_oracle_sql("aug")
+    split_bucket_sql, split_case_sql = split_oracle_sql("doc_id", salt="exp1")
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1745,6 +1770,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, {{redact_cols}} FROM aug
         """.format(redact_cols=redact_cols),
+        "doc_tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split({norm_text}, ' '),
+                                          x -> x <> '')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, term, tf, df,
+                       round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 6)
+                           AS tfidf
+                FROM tf JOIN dfq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, tfidf,
+                   CAST(term_rank AS BIGINT) AS term_rank
+            FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term ASC) AS term_rank
+                FROM scored
+            ) WHERE term_rank <= 3
+        """,
+        "doc_split_assignment": f"""
+            SELECT doc_id, {split_bucket_sql} AS bucket,
+                   {split_case_sql} AS split
+            FROM documents
+        """,
         "token_jaccard_pairs": f"""
             WITH d AS (
                 SELECT doc_id, lang, source,

@@ -249,3 +249,46 @@ def decontaminate(df: DataFrame, id_col: str, text_col: str,
         .groupBy("id")
         .agg(F.count("*").alias(f"n_shared_{k}grams"))
     )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 5) -> DataFrame:
+    """TF-IDF keyword extraction: top-``k`` terms per document by
+    tf * (ln((N+1)/(df+1)) + 1) (the smoothed-idf formula sklearn uses),
+    ties broken on term asc so the top-k set is deterministic.
+
+    Plan: ONE shuffle builds the (id, term, tf) table (explode + keyed
+    agg, map-side combined); document frequency re-aggregates THAT table
+    (never re-scans the corpus); N rides in as a broadcast one-row cross
+    join so the whole expression stays JVM-side. The ranking window
+    partitions by doc — bounded by per-doc vocabulary, no global sort.
+    Hot terms only widen the df agg, which partial-aggregates."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    tf = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.split(norm, " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 6
+            ),
+        )
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "df", "tfidf",
+                F.col("rank").cast("long").alias("term_rank"))
+    )
