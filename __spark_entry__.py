@@ -540,6 +540,34 @@ def pii_redacted_docs(spark, sf_dir):
     )
 
 
+def doc_spans_removed(spark, sf_dir):
+    """Duplicate-span removal (hsip/spans.py remove_spans) — the ACL'22
+    rewrite step. Spans are doc_id-derived (overlapping, nested,
+    full-doc, and absent cases all occur across the moduli) so the
+    DuckDB oracle pins clamp + merge + excision semantics on varying
+    data."""
+    from hsip.spans import remove_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def mk(s, e):
+        return F.struct(F.lit(s).alias("start"), F.lit(e).alias("end"))
+
+    spans = docs.select(
+        did.alias("id"),
+        F.explode(F.filter(F.array(
+            F.when(did % 2 == 0, mk(5, 25)),
+            F.when(did % 3 == 0, mk(20, 40)),
+            F.when(did % 5 == 0, mk(30, 35)),
+            F.when(did % 7 == 0, mk(0, 1_000_000)),
+        ), lambda s: s.isNotNull())).alias("s"),
+    ).select("id", "s.start", "s.end")
+    return remove_spans(docs, "doc_id", "text", spans).select(
+        "doc_id", "text_clean", "n_removed"
+    )
+
+
 def doc_tfidf_top_terms(spark, sf_dir):
     """TF-IDF keyword extraction (hsip/textstats.py tfidf_top_terms):
     smoothed-idf top-3 terms per doc, deterministic tie-break on term."""
@@ -1365,6 +1393,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_pairs": dedup_exact_pairs,
         "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
         "pii_redacted_docs": pii_redacted_docs,
+        "doc_spans_removed": doc_spans_removed,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "doc_split_assignment": doc_split_assignment,
         "token_jaccard_pairs": token_jaccard_pairs,
@@ -1770,6 +1799,67 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, {{redact_cols}} FROM aug
         """.format(redact_cols=redact_cols),
+        "doc_spans_removed": """
+            WITH sp AS (
+                SELECT doc_id, 5 AS s, 25 AS e FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT doc_id, 20, 40 FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, 30, 35 FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id, 0, 1000000 FROM documents WHERE doc_id % 7 = 0
+            ),
+            cl AS (
+                SELECT sp.doc_id, greatest(s, 0) AS s, least(e, length(text)) AS e
+                FROM sp JOIN documents d USING (doc_id)
+                WHERE least(e, length(text)) > greatest(s, 0)
+            ),
+            isl AS (
+                SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+                              PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          ), -1) THEN 1 ELSE 0 END AS ni
+                FROM cl
+            ),
+            g AS (
+                SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+                FROM isl
+            ),
+            m AS (SELECT doc_id, min(s) AS s, max(e) AS e
+                  FROM g GROUP BY doc_id, grp),
+            nb AS (
+                SELECT m.doc_id, s, e, length(d.text) AS len,
+                       lag(e, 1, 0) OVER (PARTITION BY m.doc_id ORDER BY s)
+                           AS prev_e,
+                       lead(s, 1) OVER (PARTITION BY m.doc_id ORDER BY s)
+                           AS next_s
+                FROM m JOIN documents d USING (doc_id)
+            ),
+            seg AS (
+                SELECT doc_id, prev_e AS ss, s AS se FROM nb WHERE s > prev_e
+                UNION ALL
+                SELECT doc_id, e, len FROM nb WHERE next_s IS NULL AND len > e
+            ),
+            rew AS (
+                SELECT seg.doc_id,
+                       string_agg(substr(text, ss + 1, se - ss), '' ORDER BY ss)
+                           AS clean
+                FROM seg JOIN documents d USING (doc_id)
+                GROUP BY seg.doc_id
+            ),
+            cov AS (SELECT DISTINCT doc_id FROM m)
+            SELECT d.doc_id,
+                   CASE WHEN cov.doc_id IS NOT NULL
+                        THEN coalesce(rew.clean, '') ELSE d.text END
+                       AS text_clean,
+                   CAST(length(d.text) - length(
+                       CASE WHEN cov.doc_id IS NOT NULL
+                            THEN coalesce(rew.clean, '') ELSE d.text END
+                   ) AS BIGINT) AS n_removed
+            FROM documents d
+            LEFT JOIN cov USING (doc_id)
+            LEFT JOIN rew USING (doc_id)
+        """,
         "doc_tfidf_top_terms": f"""
             WITH toks AS (
                 SELECT doc_id,
