@@ -74,6 +74,13 @@ class DedupConfig:
     # Flows through the same stage checkpoint/lineage/metrics discipline
     # as every other stage.
     extract_spans_group_col: str | None = None
+    # optional duplicate-span REMOVAL stage (the ACL'22 rewrite step):
+    # when set, run_documents also emits a ``docs_cleaned`` table —
+    # positional spans from removal_spans_within_groups (keep-SA-first
+    # survivor policy, grouped by this SQL expression) excised from the
+    # RAW text via spans.remove_spans. Independent of the extraction
+    # flag; offsets index the input text column as given.
+    remove_spans_group_col: str | None = None
     # normalization (R3)
     lowercase: bool = True
     collapse_ws: bool = True

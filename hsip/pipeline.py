@@ -55,6 +55,9 @@ class PipelineResult:
     stats: dict = field(default_factory=dict)
     # cfg.extract_spans_group_col only: per-group exact duplicate spans
     duplicate_spans: DataFrame | None = None
+    # cfg.remove_spans_group_col only: rewritten docs
+    # (id, text, text_clean, n_removed) with duplicate spans excised
+    docs_cleaned: DataFrame | None = None
 
 
 def _run_channels(spark: SparkSession, builders) -> list[DataFrame]:
@@ -423,6 +426,29 @@ def run_documents(
             ),
         )
 
+    cleaned = None
+    if cfg.remove_spans_group_col is not None:
+        # optional span REMOVAL stage: positional spans (keep-SA-first
+        # survivor) excised from the RAW text — offsets index text_col
+        # as given, so extraction and rewrite see the same column
+        from .spans import remove_spans
+        from .suffixes import removal_spans_within_groups
+
+        grouped_rm = docs.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(text_col).alias("text"),
+            F.expr(cfg.remove_spans_group_col).alias("span_grp"),
+        )
+        cleaned = stage(
+            "docs_cleaned",
+            lambda: remove_spans(
+                grouped_rm.drop("span_grp"), "id", "text",
+                removal_spans_within_groups(
+                    grouped_rm, "id", "text", "span_grp", cfg, recorder=rec
+                ),
+            ),
+        )
+
     if rec:
         rec.metric("pipeline", "n_docs", base.count())
         rec.metric("pipeline", "n_verified_edges", verified.filter("verdict").count())
@@ -436,6 +462,7 @@ def run_documents(
     return PipelineResult(
         clusters=clusters, verified=verified, representatives=reps,
         run_id=run_id, stats=stats, duplicate_spans=spans,
+        docs_cleaned=cleaned,
     )
 
 

@@ -615,3 +615,119 @@ def duplicate_spans_local(texts: dict[str, str], min_len: int) -> list[tuple[str
             if best.get(key, 0) < l:
                 best[key] = l
     return [(a, b, l) for (a, b), l in sorted(best.items())]
+
+
+def duplicate_span_positions_local(
+    texts: dict[str, str], min_len: int
+) -> list[tuple[str, int, int]]:
+    """Removal spans (doc_id, start, end) in CHAR offsets — the
+    positional twin of duplicate_spans_local, feeding spans.remove_spans.
+
+    Policy (keep-SA-first): suffixes sharing a >= min_len prefix form a
+    contiguous suffix-array block; the block's FIRST occurrence (its
+    lexicographically-smallest suffix) survives, and every occurrence
+    from a DIFFERENT doc is marked [pos, pos + pairwise_lcp). Chained
+    marks compose like Lee et al.'s one-survivor rule: content repeated
+    across k docs keeps exactly one intact copy (possibly split across
+    survivors when repeats nest). Intra-doc repeats are left alone —
+    this channel dedupes across documents.
+
+    Texts are indexed as code points (not utf-8 bytes) so the emitted
+    offsets match Spark's char-based substring in remove_spans.
+    """
+    ids, offsets, parts = [], [], []
+    off = 0
+    for did, t in sorted(texts.items()):
+        cp = np.array([ord(c) + 1 for c in t], dtype=np.int64)
+        ids.append(did)
+        offsets.append(off)
+        parts.append(cp)
+        parts.append(np.zeros(1, dtype=np.int64))  # separator, sorts lowest
+        off += len(cp) + 1
+    data = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    sa = suffix_array(data)
+    bounds = np.array(offsets + [len(data)], dtype=np.int64)
+    owner = np.searchsorted(bounds, sa, side="right") - 1
+    spans: list[tuple[str, int, int]] = []
+    block_owner = -1
+    for t in range(1, len(sa)):
+        i, j = int(sa[t - 1]), int(sa[t])
+        oi, oj = int(owner[t - 1]), int(owner[t])
+        l = _lcp_len(data, i, j)
+        l = min(l, int(bounds[oi + 1]) - 1 - i, int(bounds[oj + 1]) - 1 - j)
+        if l < min_len:
+            block_owner = -1
+            continue
+        if block_owner < 0:
+            block_owner = oi
+        if oj != block_owner:
+            pos = j - int(bounds[oj])
+            spans.append((ids[oj], pos, pos + l))
+    # every suffix inside a repeat emits its own overlapping mark
+    # (O(repeat_len) spans); merge locally so the shuffled span table is
+    # O(repeats), not O(repeated chars) — remove_spans re-merges anyway
+    merged: list[tuple[str, int, int]] = []
+    for did, s, e in sorted(spans):
+        if merged and merged[-1][0] == did and s <= merged[-1][2]:
+            if e > merged[-1][2]:
+                merged[-1] = (did, merged[-1][1], e)
+        else:
+            merged.append((did, s, e))
+    return merged
+
+
+def removal_spans_within_groups(
+    docs: DataFrame, id_col: str, text_col: str, group_col: str,
+    cfg: DedupConfig, recorder=None,
+) -> DataFrame:
+    """Positional removal spans (id, start, end) per group — the span
+    table spans.remove_spans consumes. Offsets index ``text_col`` AS
+    GIVEN (no normalization here: the removal rewrite must target the
+    column whose offsets these are; normalize upstream if desired).
+
+    Same giant-group guard as exact_substr_within_groups: groups over
+    ``cfg.substr_group_byte_budget`` normalized bytes sub-bucket by doc
+    hash (exact within sub-buckets, truncation recorded — no silent
+    caps).
+    """
+    min_len = cfg.min_substr_len
+    budget = cfg.substr_group_byte_budget
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("start", T.IntegerType(), False),
+            T.StructField("end", T.IntegerType(), False),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = dict(zip(pdf["_id"].astype(str), pdf["_raw"].fillna("")))
+        spans = duplicate_span_positions_local(texts, min_len)
+        return pd.DataFrame(spans, columns=["id", "start", "end"])
+
+    tagged = docs.select(
+        F.col(group_col).alias("_grp"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(text_col).alias("_raw"),
+    )
+    sizes = tagged.groupBy("_grp").agg(
+        F.sum(F.octet_length("_raw")).alias("_bytes")
+    )
+    n_split = F.greatest(F.ceil(F.col("_bytes") / budget), F.lit(1))
+    tagged = tagged.join(sizes, "_grp").withColumn(
+        "_sub",
+        F.when(
+            F.col("_bytes") > budget,
+            F.pmod(F.xxhash64("_id", F.lit(cfg.seed)), n_split),
+        ).otherwise(F.lit(0)),
+    )
+    if recorder is not None:
+        over = sizes.filter(F.col("_bytes") > budget)
+        recorder.metric(
+            "removal_spans_within_groups", "groups_sub_bucketed", over.count()
+        )
+    return (
+        tagged.drop("_bytes")
+        .groupBy("_grp", "_sub")
+        .applyInPandas(run, schema=out_schema)
+    )

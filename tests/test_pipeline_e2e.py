@@ -239,3 +239,27 @@ def test_pipeline_duplicate_spans_stage(spark, tmp_path_factory):
     # flag off (default): no extra stage, result field is None
     res3 = run_documents(spark, docs, "id", "text", DedupConfig())
     assert res3.duplicate_spans is None
+
+
+def test_pipeline_docs_cleaned_stage(spark):
+    """cfg.remove_spans_group_col wires the removal rewrite into the
+    pipeline: docs_cleaned carries the excised text, no cross-doc span
+    >= min_len survives, and one intact copy remains."""
+    from hsip.suffixes import duplicate_spans_local
+
+    shared = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        ("r1", shared + "unique tail alpha " * 5),
+        ("r2", "unique head beta " * 5 + shared),
+        ("r3", "completely different content " * 20),
+    ]
+    docs = spark.createDataFrame(rows, "id string, text string")
+    cfg = DedupConfig(remove_spans_group_col="'all'")
+
+    res = run_documents(spark, docs, "id", "text", cfg)
+    assert res.docs_cleaned is not None
+    cleaned = {r["id"]: r["text_clean"] for r in res.docs_cleaned.collect()}
+    assert duplicate_spans_local(cleaned, cfg.min_substr_len) == []
+    assert sum(shared in t for t in cleaned.values()) == 1
+    assert cleaned["r3"] == rows[2][1]
+    assert "docs_cleaned" in res.stats["stage_walls"]
