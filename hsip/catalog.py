@@ -256,6 +256,84 @@ class Catalog:
             shutil.rmtree(base)
         os.rename(tmp, base)
 
+    # -- merge (batch upsert) --------------------------------------------
+    def merge_into(self, updates: DataFrame, ident: str,
+                   key_cols: list[str], meta: dict | None = None,
+                   validate_keys: bool = True) -> None:
+        """SCD-1 MERGE: update rows whose key matches, insert the rest.
+
+        Iceberg path: ``MERGE INTO`` SQL — the cluster engine rewrites
+        (copy-on-write) or shadows (merge-on-read) ONLY the files that
+        contain matched rows, so a 100-TB table absorbs a small delta in
+        O(touched files). Parquet fallback: ``target ANTI-JOIN updates``
+        + ``unionByName`` committed as a new snapshot — one key shuffle
+        (AQE broadcasts a small delta side), but a full-snapshot rewrite;
+        the docstring-level contract is that clusters use Iceberg and the
+        fallback exists for sandbox/dev parity, same as write().
+
+        ``validate_keys`` mirrors Iceberg's MERGE cardinality rule: a
+        delta carrying duplicate keys would make the surviving row
+        nondeterministic, so it fails fast (one agg over the delta —
+        cheap on the small side).
+        """
+        if validate_keys:
+            from pyspark.sql import functions as F
+
+            dup = (
+                updates.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge_into {ident}: updates contain duplicate keys, "
+                    f"e.g. {tuple(dup[0][c] for c in key_cols)!r} — the "
+                    "merge result would be nondeterministic")
+        if not self.exists(ident):
+            self.write(updates, ident, mode="overwrite", meta=meta)
+            return
+        if self.iceberg_catalog:
+            full = f"{self.iceberg_catalog}.{ident}"
+            view = "hsip_merge_src_" + uuid.uuid4().hex[:8]
+            updates.createOrReplaceTempView(view)
+            on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+            self.spark.sql(
+                f"MERGE INTO {full} t USING {view} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            self.spark.catalog.dropTempView(view)
+            return
+        target = self.read(ident)
+        merged = target.join(updates, key_cols, "left_anti").unionByName(
+            updates
+        )
+        self.write(merged, ident, mode="overwrite", meta=meta)
+
+    def compact(self, ident: str, target_files: int = 0) -> None:
+        """Small-file compaction. Streaming appends and incremental
+        merges accrete part files; scans then pay per-file open/footer
+        costs that dwarf the data read (the classic 100-TB "millions of
+        tiny files" failure). Iceberg path: the native
+        ``rewrite_data_files`` maintenance procedure (bin-packs to the
+        table's target file size, commits one snapshot). Parquet
+        fallback: read + repartition(``target_files``, default
+        defaultParallelism) + overwrite — meta and hive layout preserved
+        from the live manifest, committed via the same tmp+rename."""
+        if self.iceberg_catalog:
+            self.spark.sql(
+                f"CALL {self.iceberg_catalog}.system.rewrite_data_files("
+                f"table => '{ident}')"
+            )
+            return
+        man = self.manifest(ident)
+        n = target_files or self.spark.sparkContext.defaultParallelism
+        df = self.read(ident).repartition(n)
+        self.write(df, ident, mode="overwrite", meta=man.get("meta"),
+                   partition_by=man.get("partition_by"))
+
     def drop(self, ident: str) -> None:
         if self.iceberg_catalog:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.iceberg_catalog}.{ident}")

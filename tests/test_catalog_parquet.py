@@ -110,3 +110,65 @@ def test_concurrent_append_detected(spark, tmp_path, monkeypatch):
     cat.write(df, "t.race", mode="append")
     assert cat.read("t.race").count() == n_before + 5
     assert "base_snapshot" in cat.manifest("t.race")
+
+
+def test_merge_into_upserts_and_inserts(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("a", 1, "old"), ("b", 2, "old"), ("c", 3, "old")],
+        ["k", "v", "tag"],
+    )
+    cat.write(base, "t.m", meta={"gen": "1"})
+    delta = spark.createDataFrame(
+        [("b", 20, "new"), ("d", 40, "new")], ["k", "v", "tag"]
+    )
+    cat.merge_into(delta, "t.m", ["k"], meta={"gen": "2"})
+    got = {r["k"]: (r["v"], r["tag"]) for r in cat.read("t.m").collect()}
+    assert got == {"a": (1, "old"), "b": (20, "new"),
+                   "c": (3, "old"), "d": (40, "new")}
+    assert cat.properties("t.m") == {"gen": "2"}
+    # idempotent: replaying the same delta changes nothing
+    cat.merge_into(delta, "t.m", ["k"], meta={"gen": "2"})
+    assert {r["k"]: (r["v"], r["tag"]) for r in cat.read("t.m").collect()} \
+        == got
+
+
+def test_merge_into_duplicate_delta_keys_fail_fast(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write(spark.createDataFrame([("a", 1)], ["k", "v"]), "t.m2")
+    dup = spark.createDataFrame([("a", 1), ("a", 2)], ["k", "v"])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        cat.merge_into(dup, "t.m2", ["k"])
+    # and validate_keys=False takes the caller's word for it
+    cat.merge_into(dup.limit(1), "t.m2", ["k"], validate_keys=False)
+
+
+def test_merge_into_missing_table_creates_it(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    delta = spark.createDataFrame([("a", 1)], ["k", "v"])
+    cat.merge_into(delta, "t.new", ["k"])
+    assert cat.read("t.new").count() == 1
+
+
+def test_compact_reduces_files_preserves_rows_and_layout(spark, tmp_path):
+    import glob
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write(_pairs(spark, 10, 0), "t.c", partition_by=["batch_id"],
+              meta={"gen": "1"})
+    for b in range(1, 4):
+        cat.write(_pairs(spark, 10, b), "t.c", mode="append",
+                  partition_by=["batch_id"], meta={"gen": "1"})
+    data = os.path.join(str(tmp_path / "wh"), "t", "c", "data")
+    before = len(glob.glob(os.path.join(data, "**", "*.parquet"),
+                           recursive=True))
+    rows_before = sorted(map(tuple, cat.read("t.c").collect()))
+    cat.compact("t.c", target_files=2)
+    after = len(glob.glob(os.path.join(data, "**", "*.parquet"),
+                          recursive=True))
+    assert after < before
+    assert sorted(map(tuple, cat.read("t.c").collect())) == rows_before
+    # layout + meta survive the rewrite
+    assert cat.manifest("t.c").get("partition_by") == ["batch_id"]
+    assert cat.properties("t.c") == {"gen": "1"}
