@@ -589,6 +589,41 @@ def doc_split_assignment(spark, sf_dir):
     return assign_split(docs, "doc_id", salt="exp1")
 
 
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic per-stratum downsampling (hsip/splits.py
+    stratified_sample): md5-bucket survival, stable across reruns /
+    repartitions / appends — pure projection+filter, zero shuffle."""
+    from hsip.splits import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "es": 0.25},
+        salt="exp1", default=0.1,
+    )
+
+
+def doc_sequence_packing(spark, sf_dir):
+    """Training-sequence packing (hsip/packing.py): shard-local running
+    token sums assign each doc a (shard, seq_id, offset) slot — windows
+    bounded per shard, never a global sort."""
+    from hsip.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", "text", seq_len=1024, n_shards=4, salt="exp1"
+    )
+
+
+def curation_verdict_docs(spark, sf_dir):
+    """C4/Gopher-style curation policy (hsip/textstats.py
+    curation_verdict): threshold the cheap quality signals, emit keep
+    (0/1) + first-failing-rule reason — one codegen projection."""
+    from hsip.textstats import curation_verdict
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_verdict(docs, "doc_id", "text")
+
+
 def token_jaccard_pairs(spark, sf_dir):
     """Blocked n-gram-Jaccard matching, fully SQL-expressible (V2 oracle).
 
@@ -618,6 +653,61 @@ def token_jaccard_pairs(spark, sf_dir):
         ).alias("jaccard"),
     )
     return pairs.filter(F.col("jaccard") >= 0.5)
+
+
+def token_containment_pairs(spark, sf_dir):
+    """Blocked near-superset matching via containment |A∩B|/min(|A|,|B|)
+    (hsip/verify.py containment_col — Broder '97's second measure).
+
+    ORACLE-ONLY BASELINE like token_jaccard_pairs: O(block^2) within
+    (lang, source) so DuckDB replicates it exactly. The scale path
+    reuses the MinHash+LSH candidate channel; containment is a verify-
+    stage predicate there, never an all-pairs join."""
+    from hsip.verify import containment_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split(_norm(F.col("text")), " ")).alias("toks"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.toks").alias("shingles_a"),
+        F.col("b.toks").alias("shingles_b"),
+    ).select(
+        "id_a", "id_b", F.round(containment_col(), 6).alias("containment")
+    )
+    return pairs.filter(F.col("containment") >= 0.8)
+
+
+def dataset_card(spark, sf_dir):
+    """One-row corpus datasheet: the summary a training-data release
+    ships (docs, tokens, language spread, exact-dup rate) — all
+    partial-aggregable built-ins, one global agg, no window/sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    ).cast("long")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.round(F.avg(toks), 4).alias("mean_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
 
 
 def doc_stats(spark, sf_dir):
@@ -1396,7 +1486,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_spans_removed": doc_spans_removed,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "doc_split_assignment": doc_split_assignment,
+        "stratified_sample_docs": stratified_sample_docs,
+        "doc_sequence_packing": doc_sequence_packing,
+        "curation_verdict_docs": curation_verdict_docs,
         "token_jaccard_pairs": token_jaccard_pairs,
+        "token_containment_pairs": token_containment_pairs,
+        "dataset_card": dataset_card,
         "doc_stats": doc_stats,
         "lang_profile": lang_profile,
         "doc_quality_scores": doc_quality_scores,
@@ -1450,6 +1545,17 @@ def oracle_sql() -> dict[str, str]:
     norm_text = _NORM_SQL.format(c="text")
     redact_cols = redaction_oracle_sql("aug")
     split_bucket_sql, split_case_sql = split_oracle_sql("doc_id", salt="exp1")
+    from hsip.packing import packing_oracle_sql
+    from hsip.splits import stratified_oracle_predicate
+    from hsip.textstats import curation_oracle_sql
+
+    strat_pred = stratified_oracle_predicate(
+        "doc_id", "lang", {"en": 0.5, "es": 0.25}, salt="exp1", default=0.1
+    )
+    packing_sql = packing_oracle_sql(
+        "documents", "doc_id", "text", seq_len=1024, n_shards=4, salt="exp1"
+    )
+    curation_sql = curation_oracle_sql("documents", "doc_id", "text")
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1891,6 +1997,11 @@ def oracle_sql() -> dict[str, str]:
                    {split_case_sql} AS split
             FROM documents
         """,
+        "stratified_sample_docs": f"""
+            SELECT doc_id, lang FROM documents WHERE {strat_pred}
+        """,
+        "doc_sequence_packing": packing_sql,
+        "curation_verdict_docs": curation_sql,
         "token_jaccard_pairs": f"""
             WITH d AS (
                 SELECT doc_id, lang, source,
@@ -1907,6 +2018,41 @@ def oracle_sql() -> dict[str, str]:
                   ON a.lang = b.lang AND a.source = b.source
                  AND a.doc_id < b.doc_id
             ) WHERE jaccard >= 0.5
+        """,
+        "token_containment_pairs": f"""
+            WITH d AS (
+                SELECT doc_id, lang, source,
+                       list_distinct(string_split({norm_text}, ' ')) AS toks
+                FROM documents
+            )
+            SELECT * FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(
+                           len(list_intersect(a.toks, b.toks)) * 1.0
+                           / least(len(a.toks), len(b.toks)), 6
+                       ) AS containment
+                FROM d a JOIN d b
+                  ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+            ) WHERE containment >= 0.8
+        """,
+        "dataset_card": r"""
+            WITH t AS (
+                SELECT lang, source, n_chars, text,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS nt
+                FROM documents
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   round(avg(nt), 4) AS mean_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+                       AS n_exact_dup_docs,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM t
         """,
         "doc_stats": f"""
             SELECT doc_id,

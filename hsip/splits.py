@@ -71,3 +71,77 @@ def split_oracle_sql(key_expr: str, splits: dict[str, int] | None = None,
         case += f" WHEN {bucket} < {hi} THEN '{name}'"
     case += " END"
     return bucket, case
+
+
+# --- Deterministic stratified sampling -------------------------------------
+#
+# Per-stratum downsampling (e.g. "keep 50% of en, 10% of everything else")
+# must share the split machinery's guarantees: no RNG, stable under rerun /
+# repartition / incremental append, identical expression in any md5-capable
+# engine. A finer resolution than the 100 split buckets lets fractions like
+# 0.123 be exact; a different salt separator ('#' vs ':') plus a different
+# md5 prefix width (12 hex chars vs 8) decorrelates sampling from split
+# assignment even when both use the same salt string.
+
+SAMPLE_RESOLUTION = 1_000_000
+
+
+def sample_bucket(key: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, SAMPLE_RESOLUTION): first 12 md5 hex chars
+    (48 bits — exact in a signed long) of ``key || '#' || salt``."""
+    h = F.md5(F.concat(key.cast("string"), F.lit("#" + salt)))
+    return (
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+        % SAMPLE_RESOLUTION
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    default: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically:
+    row survives iff ``sample_bucket(key) < fraction * RESOLUTION``. Pure
+    projection + filter — zero shuffle, whole-stage codegen, and a row's
+    fate never changes across reruns or appends (no eval-set churn).
+    Strata absent from ``fractions`` fall back to ``default``."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} out of [0,1]: {f}")
+    b = sample_bucket(F.col(key_col), salt)
+    thr = None
+    for s, f in fractions.items():
+        t = int(round(f * SAMPLE_RESOLUTION))
+        cond = F.col(stratum_col) == s
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = (
+        F.lit(int(round(default * SAMPLE_RESOLUTION)))
+        if thr is None
+        else thr.otherwise(int(round(default * SAMPLE_RESOLUTION)))
+    )
+    return df.filter(b < thr)
+
+
+def stratified_oracle_predicate(
+    key_expr: str,
+    stratum_expr: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    default: float = 0.0,
+) -> str:
+    """DuckDB WHERE predicate with semantics identical to
+    ``stratified_sample`` — one definition drives engine and oracle."""
+    bucket = (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '#{salt}'),"
+        f" 1, 12))::UBIGINT % {SAMPLE_RESOLUTION} AS BIGINT)"
+    )
+    case = "CASE"
+    for s, f in fractions.items():
+        t = int(round(f * SAMPLE_RESOLUTION))
+        case += f" WHEN {stratum_expr} = '{s}' THEN {t}"
+    case += f" ELSE {int(round(default * SAMPLE_RESOLUTION))} END"
+    return f"{bucket} < {case}"

@@ -292,3 +292,105 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
         .select("id", "term", "tf", "df", "tfidf",
                 F.col("rank").cast("long").alias("term_rank"))
     )
+
+
+# --- Curation policy: composite keep/drop verdict ---------------------------
+
+# Thresholds in one place so the Spark path, the DuckDB oracle, and the
+# docs can't drift. Rule order matters: `reason` reports the FIRST
+# failing rule (a fixed triage order makes drop-reason dashboards stable
+# across reruns), so the tuple order below is part of the contract.
+CURATION_RULES: dict[str, float] = {
+    "min_tokens": 20,
+    "max_tokens": 10_000,
+    "min_mean_token_len": 2.0,
+    "max_mean_token_len": 10.0,
+    "min_diversity": 0.35,
+    "max_digit_ratio": 0.20,
+}
+
+
+def curation_verdict(df: DataFrame, id_col: str, text_col: str,
+                     rules: dict[str, float] | None = None) -> DataFrame:
+    """C4/Gopher-style document curation: evaluate the cheap quality
+    signals against a threshold policy and emit ``keep`` (0/1) plus the
+    first failing rule name in ``reason`` (NULL when kept).
+
+    Pure projection over the signal expressions — zero shuffle, one
+    WholeStageCodegen span, scan-speed at any corpus size. Comparisons
+    run on the UNROUNDED ratios (identical double arithmetic in any
+    engine: int/int division then compare to the same literal), so the
+    verdict is engine-portable; only the displayed columns are rounded.
+    """
+    r = CURATION_RULES if rules is None else rules
+    text = F.col(text_col)
+    # Raw (unrounded) signals — quality_columns rounds for display, but
+    # threshold comparisons must see the exact ratios so engine and
+    # oracle agree bit-for-bit.
+    n_chars = F.length(text)
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    nt = F.size(toks).cast("long")
+    mtl = (n_chars - nt + 1) / F.greatest(nt, F.lit(1))
+    div = F.size(F.array_distinct(toks)) / F.greatest(nt, F.lit(1))
+    dig = (
+        n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    ) / F.greatest(n_chars, F.lit(1))
+    reason = (
+        F.when(nt < F.lit(int(r["min_tokens"])), "too_short")
+        .when(nt > F.lit(int(r["max_tokens"])), "too_long")
+        .when(mtl < F.lit(r["min_mean_token_len"]), "short_words")
+        .when(mtl > F.lit(r["max_mean_token_len"]), "long_words")
+        .when(div < F.lit(r["min_diversity"]), "low_diversity")
+        .when(dig > F.lit(r["max_digit_ratio"]), "digit_heavy")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        id_col,
+        nt.alias("n_tokens"),
+        F.round(mtl, 6).alias("mean_token_len"),
+        F.round(div, 6).alias("diversity"),
+        reason.alias("reason"),
+        reason.isNull().cast("int").alias("keep"),
+    )
+
+
+def curation_oracle_sql(table: str, id_expr: str, text_expr: str,
+                        rules: dict[str, float] | None = None) -> str:
+    """DuckDB SQL replicating ``curation_verdict`` exactly — the same
+    unrounded comparisons in the same rule order."""
+    r = CURATION_RULES if rules is None else rules
+    toks = (f"list_filter(string_split_regex(lower({text_expr}), '\\s+'),"
+            f" x -> x <> '')")
+    return f"""
+        WITH t AS (
+            SELECT {id_expr} AS id,
+                   CAST(len({toks}) AS BIGINT) AS nt,
+                   length({text_expr}) AS nc,
+                   len(list_distinct({toks})) AS ndt,
+                   length(regexp_replace({text_expr}, '[0-9]', '', 'g'))
+                       AS nc_nodigit
+            FROM {table}
+        ), s AS (
+            SELECT id, nt,
+                   (nc - nt + 1) * 1.0 / greatest(nt, 1) AS mtl,
+                   ndt * 1.0 / greatest(nt, 1) AS div,
+                   (nc - nc_nodigit) * 1.0 / greatest(nc, 1) AS dig
+            FROM t
+        ), v AS (
+            SELECT id, nt, mtl, div,
+                   CASE
+                       WHEN nt < {int(r["min_tokens"])} THEN 'too_short'
+                       WHEN nt > {int(r["max_tokens"])} THEN 'too_long'
+                       WHEN mtl < {r["min_mean_token_len"]} THEN 'short_words'
+                       WHEN mtl > {r["max_mean_token_len"]} THEN 'long_words'
+                       WHEN div < {r["min_diversity"]} THEN 'low_diversity'
+                       WHEN dig > {r["max_digit_ratio"]} THEN 'digit_heavy'
+                   END AS reason
+            FROM s
+        )
+        SELECT id AS {id_expr}, nt AS n_tokens,
+               round(mtl, 6) AS mean_token_len,
+               round(div, 6) AS diversity, reason,
+               CAST(reason IS NULL AS INT) AS keep
+        FROM v
+    """

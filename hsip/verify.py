@@ -53,6 +53,15 @@ def jaccard_col() -> F.Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def containment_col() -> F.Column:
+    """Containment |A∩B| / min(|A|,|B|): near-superset detection —
+    catches a doc embedded in a longer one, where Jaccard dilutes
+    toward 0 as the length ratio grows (Broder '97's second measure)."""
+    inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
+    mn = F.least(F.size("shingles_a"), F.size("shingles_b"))
+    return F.when(mn > 0, inter / mn).otherwise(F.lit(0.0))
+
+
 def verify_jaccard(pairs: DataFrame, shingles_df: DataFrame, cfg: DedupConfig,
                    scratch: list | None = None) -> DataFrame:
     """V2: exact Jaccard over shingle sets; keeps score for reporting."""
