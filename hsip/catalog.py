@@ -121,18 +121,29 @@ class Catalog:
     # -- write (atomic) --------------------------------------------------
     def write(self, df: DataFrame, ident: str, mode: str = "overwrite",
               meta: dict | None = None,
-              partition_by: list[str] | None = None) -> None:
+              partition_by: list[str] | None = None,
+              sort_by: list[str] | None = None) -> None:
         """``partition_by`` lays the table out hive-partitioned on those
         columns (Iceberg: identity partition transform at create; parquet
         fallback: writer partitionBy). Readers filtering on a partition
         column then prune to matching directories/manifests instead of
         scanning every file footer — the streaming index tables use this
         with batch_id so per-micro-batch replay guards stay O(one batch)
-        as the index grows (VERDICT.md r2 item 6)."""
+        as the index grows (VERDICT.md r2 item 6).
+
+        ``sort_by`` range-clusters the data on those columns so each
+        file's min/max footer stats are tight and disjoint: point/range
+        predicates on the sort key then SKIP whole files (and row groups)
+        at planning time — the cheap cousin of Z-ordering, and the knob
+        that keeps selective scans O(matching data) on a 100-TB table.
+        Iceberg: declared as the table's write order (ALTER TABLE ...
+        WRITE ORDERED BY), so every engine writing the table clusters the
+        same way. Fallback: repartitionByRange + sortWithinPartitions
+        before the write; disjointness is pinned by file-stat tests."""
         if self.iceberg_catalog:
             full = f"{self.iceberg_catalog}.{ident}"
             if mode == "append" and self.exists(ident):
-                # appends inherit the table's partition spec
+                # appends inherit the table's partition spec + write order
                 df.writeTo(full).append()
             else:
                 w = df.writeTo(full)
@@ -145,13 +156,24 @@ class Catalog:
                     # fingerprints survive on the cluster path too
                     w = w.tableProperty(f"hsip.{k}", str(v))
                 w.createOrReplace()
+                if sort_by:
+                    self.spark.sql(
+                        f"ALTER TABLE {full} WRITE ORDERED BY "
+                        f"({', '.join(sort_by)})"
+                    )
             return
+        if sort_by:
+            df = df.repartitionByRange(
+                self.spark.sparkContext.defaultParallelism, *sort_by
+            ).sortWithinPartitions(*sort_by)
         with self._lock(ident):
-            self._write_parquet_locked(df, ident, mode, meta, partition_by)
+            self._write_parquet_locked(df, ident, mode, meta, partition_by,
+                                       sort_by)
 
     def _write_parquet_locked(self, df: DataFrame, ident: str, mode: str,
                               meta: dict | None,
-                              partition_by: list[str] | None) -> None:
+                              partition_by: list[str] | None,
+                              sort_by: list[str] | None = None) -> None:
         base = self._path(ident)
         base_snapshot = None
         if mode == "append" and self.exists(ident):
@@ -206,6 +228,8 @@ class Catalog:
         }
         if partition_by:
             man["partition_by"] = partition_by
+        if sort_by:
+            man["sort_by"] = sort_by
         if mode == "append" and os.path.exists(base):
             # append = move the new part files into the live data dir with
             # unique names, then swap the manifest — O(new data), never a

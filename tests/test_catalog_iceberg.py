@@ -119,3 +119,40 @@ def test_checkpoint_fingerprint_invalidates_on_iceberg():
     assert not Checkpointer(cat, "runA", "OTHER").done("features")
     # resume disabled -> never reuse, even on matching fingerprint
     assert not Checkpointer(cat, "runA", "abc", reuse=False).done("features")
+
+
+def test_sorted_write_declares_iceberg_write_order():
+    spark, cat = _cat()
+    spark.catalog.tableExists.return_value = False
+    df = mock.MagicMock()
+    cat.write(df, "t.sorted", sort_by=["v", "k"])
+    df.writeTo.return_value.createOrReplace.assert_called_once()
+    spark.sql.assert_called_with(
+        "ALTER TABLE ice.t.sorted WRITE ORDERED BY (v, k)")
+    # appends inherit the declared write order: no ALTER re-issued
+    spark.reset_mock()
+    spark.catalog.tableExists.return_value = True
+    df2 = mock.MagicMock()
+    cat.write(df2, "t.sorted", mode="append", sort_by=["v", "k"])
+    df2.writeTo.return_value.append.assert_called_once()
+    spark.sql.assert_not_called()
+
+
+def test_merge_into_issues_merge_sql():
+    spark, cat = _cat()
+    spark.catalog.tableExists.return_value = True
+    df = mock.MagicMock()
+    cat.merge_into(df, "t.m", ["k", "v"], validate_keys=False)
+    sql = spark.sql.call_args[0][0]
+    assert sql.startswith("MERGE INTO ice.t.m t USING hsip_merge_src_")
+    assert "ON t.k = s.k AND t.v = s.v" in sql
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+    df.createOrReplaceTempView.assert_called_once()
+
+
+def test_compact_calls_rewrite_data_files():
+    spark, cat = _cat()
+    cat.compact("t.c")
+    spark.sql.assert_called_once_with(
+        "CALL ice.system.rewrite_data_files(table => 't.c')")

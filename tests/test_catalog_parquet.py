@@ -172,3 +172,40 @@ def test_compact_reduces_files_preserves_rows_and_layout(spark, tmp_path):
     # layout + meta survive the rewrite
     assert cat.manifest("t.c").get("partition_by") == ["batch_id"]
     assert cat.properties("t.c") == {"gen": "1"}
+
+
+def test_sorted_write_yields_disjoint_file_ranges(spark, tmp_path):
+    """sort_by range-clusters the table: every parquet file's [min,max]
+    on the sort key is pairwise disjoint, so selective scans skip whole
+    files on footer stats. Negative control: a hash-shuffled unsorted
+    write interleaves the key across files."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    def ranges(ident):
+        data = os.path.join(str(tmp_path / "wh"), *ident.split("."), "data")
+        out = []
+        for fn in glob.glob(os.path.join(data, "*.parquet")):
+            col = pq.read_table(fn, columns=["v"])["v"].to_pylist()
+            if col:
+                out.append((min(col), max(col)))
+        return sorted(out)
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 2000).alias("v"))
+    cat.write(df.repartition(8), "t.sorted", sort_by=["v"])
+    rs = ranges("t.sorted")
+    assert len(rs) > 1
+    for (lo1, hi1), (lo2, _hi2) in zip(rs, rs[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {rs}"
+    assert cat.manifest("t.sorted").get("sort_by") == ["v"]
+    assert sorted(r["v"] for r in cat.read("t.sorted").collect()) \
+        == sorted(range(0, 2000))
+    # negative control
+    cat.write(df.repartition(8), "t.unsorted")
+    ru = ranges("t.unsorted")
+    overlaps = sum(1 for (l1, h1), (l2, _h2) in zip(ru, ru[1:]) if h1 > l2)
+    assert overlaps > 0
