@@ -99,7 +99,12 @@ class Catalog:
 
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(man["empty_schema"])))
-        return self.spark.read.parquet(os.path.join(self._path(ident), "data"))
+        reader = self.spark.read
+        if man.get("merge_schema"):
+            # evolved table (see write(evolve_schema=...)): union the
+            # per-file schemas instead of adopting an arbitrary file's
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(os.path.join(self._path(ident), "data"))
 
     def manifest(self, ident: str) -> dict:
         with open(os.path.join(self._path(ident), "_MANIFEST.json")) as f:
@@ -122,7 +127,8 @@ class Catalog:
     def write(self, df: DataFrame, ident: str, mode: str = "overwrite",
               meta: dict | None = None,
               partition_by: list[str] | None = None,
-              sort_by: list[str] | None = None) -> None:
+              sort_by: list[str] | None = None,
+              evolve_schema: bool = False) -> None:
         """``partition_by`` lays the table out hive-partitioned on those
         columns (Iceberg: identity partition transform at create; parquet
         fallback: writer partitionBy). Readers filtering on a partition
@@ -139,12 +145,24 @@ class Catalog:
         Iceberg: declared as the table's write order (ALTER TABLE ...
         WRITE ORDERED BY), so every engine writing the table clusters the
         same way. Fallback: repartitionByRange + sortWithinPartitions
-        before the write; disjointness is pinned by file-stat tests."""
+        before the write; disjointness is pinned by file-stat tests.
+
+        ``evolve_schema`` governs appends whose columns differ from the
+        table's: by default they FAIL FAST — a plain parquet read of
+        mixed-schema files silently adopts one file's schema and drops
+        the other's columns, which is data loss, not evolution. Opt in
+        and the table is marked schema-merging: Iceberg unions the
+        schemas natively (mergeSchema write option); the fallback
+        records a manifest flag so read() scans with mergeSchema=true
+        (absent columns null-fill — the standard evolution semantics)."""
         if self.iceberg_catalog:
             full = f"{self.iceberg_catalog}.{ident}"
             if mode == "append" and self.exists(ident):
                 # appends inherit the table's partition spec + write order
-                df.writeTo(full).append()
+                w = df.writeTo(full)
+                if evolve_schema:
+                    w = w.option("mergeSchema", "true")
+                w.append()
             else:
                 w = df.writeTo(full)
                 if partition_by:
@@ -168,19 +186,37 @@ class Catalog:
             ).sortWithinPartitions(*sort_by)
         with self._lock(ident):
             self._write_parquet_locked(df, ident, mode, meta, partition_by,
-                                       sort_by)
+                                       sort_by, evolve_schema)
 
     def _write_parquet_locked(self, df: DataFrame, ident: str, mode: str,
                               meta: dict | None,
                               partition_by: list[str] | None,
-                              sort_by: list[str] | None = None) -> None:
+                              sort_by: list[str] | None = None,
+                              evolve_schema: bool = False) -> None:
         base = self._path(ident)
         base_snapshot = None
+        merge_schema = False
         if mode == "append" and self.exists(ident):
             start_man = self.manifest(ident)
             # optimistic single-writer check (module docstring): remember
             # the snapshot this append builds on; verified again at commit
             base_snapshot = start_man.get("snapshot_id")
+            # schema-evolution gate (see write() docstring): compare the
+            # incoming columns against the live table's before any bytes
+            # move; once a table is marked merging it stays marked, so
+            # later plain appends keep reading with mergeSchema
+            merge_schema = bool(start_man.get("merge_schema"))
+            if "empty_schema" not in start_man:
+                live_cols = set(self.read(ident).columns)
+                new_cols = set(df.columns)
+                if live_cols != new_cols:
+                    if not evolve_schema:
+                        raise ValueError(
+                            f"append to {ident}: columns {sorted(new_cols)} "
+                            f"differ from the table's {sorted(live_cols)} — "
+                            "pass evolve_schema=True to union the schemas "
+                            "(default fail-fast prevents silent column loss)")
+                    merge_schema = True
             # a mixed root-files/key=value layout is rejected by Spark
             # partition discovery, so an append whose partition_by differs
             # from the table's recorded layout must fail fast instead of
@@ -230,6 +266,8 @@ class Catalog:
             man["partition_by"] = partition_by
         if sort_by:
             man["sort_by"] = sort_by
+        if merge_schema:
+            man["merge_schema"] = True
         if mode == "append" and os.path.exists(base):
             # append = move the new part files into the live data dir with
             # unique names, then swap the manifest — O(new data), never a

@@ -156,3 +156,18 @@ def test_compact_calls_rewrite_data_files():
     cat.compact("t.c")
     spark.sql.assert_called_once_with(
         "CALL ice.system.rewrite_data_files(table => 't.c')")
+
+
+def test_evolving_append_sets_merge_schema_option():
+    spark, cat = _cat()
+    spark.catalog.tableExists.return_value = True
+    df = mock.MagicMock()
+    cat.write(df, "t.ev", mode="append", evolve_schema=True)
+    df.writeTo.return_value.option.assert_called_once_with(
+        "mergeSchema", "true")
+    df.writeTo.return_value.option.return_value.append.assert_called_once()
+    # default append takes the strict path (no option call)
+    df2 = mock.MagicMock()
+    cat.write(df2, "t.ev", mode="append")
+    df2.writeTo.return_value.option.assert_not_called()
+    df2.writeTo.return_value.append.assert_called_once()

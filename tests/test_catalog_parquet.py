@@ -209,3 +209,21 @@ def test_sorted_write_yields_disjoint_file_ranges(spark, tmp_path):
     ru = ranges("t.unsorted")
     overlaps = sum(1 for (l1, h1), (l2, _h2) in zip(ru, ru[1:]) if h1 > l2)
     assert overlaps > 0
+
+
+def test_append_schema_mismatch_fails_fast_unless_evolving(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write(spark.createDataFrame([("a", 1)], ["k", "v"]), "t.ev")
+    wider = spark.createDataFrame([("b", 2, "x")], ["k", "v", "extra"])
+    with pytest.raises(ValueError, match="evolve_schema"):
+        cat.write(wider, "t.ev", mode="append")
+    cat.write(wider, "t.ev", mode="append", evolve_schema=True)
+    out = cat.read("t.ev")
+    assert set(out.columns) == {"k", "v", "extra"}
+    got = {r["k"]: r["extra"] for r in out.collect()}
+    assert got == {"a": None, "b": "x"}  # old rows null-fill
+    # the table stays marked: a later same-schema append still merge-reads
+    cat.write(spark.createDataFrame([("c", 3, "y")], ["k", "v", "extra"]),
+              "t.ev", mode="append", evolve_schema=True)
+    assert cat.manifest("t.ev").get("merge_schema") is True
+    assert cat.read("t.ev").count() == 3
