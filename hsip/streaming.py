@@ -63,6 +63,24 @@ def stream_turns(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def dedup_turn_deliveries(turns_stream: DataFrame,
+                          watermark: str = "30 minutes",
+                          keys: list[str] | None = None) -> DataFrame:
+    """Drop redelivered copies of the same turn version at the source:
+    ``dropDuplicatesWithinWatermark`` keeps ONE row per
+    (conv_id, turn_idx, text) seen within the watermark horizon, with
+    state BOUNDED by that horizon — plain ``dropDuplicates`` on a stream
+    keys state forever, which at 10^12 turns is an OOM by design.
+
+    This trims duplicate *deliveries* (at-least-once sources, producer
+    retries) before they cost featurization downstream; true duplicates
+    arriving beyond the horizon are still caught by the foreachBatch
+    replay guard's idempotent index appends, so correctness never
+    depends on the horizon — only efficiency does."""
+    return turns_stream.withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(keys or ["conv_id", "turn_idx", "text"])
+
+
 def turn_rate_metrics(turns_stream: DataFrame, window: str = "10 minutes",
                       watermark: str = "30 minutes") -> DataFrame:
     """Watermarked tumbling-window turn counts (late data beyond the

@@ -314,3 +314,54 @@ def test_ts_collision_tiebreak_batch_equals_streaming(spark, tmp_path):
         for r in spark.sql("SELECT * FROM tie_reassembled").collect()
     }
     assert got["c1"].doc_text == batch_text
+
+
+def test_dedup_turn_deliveries_drops_redeliveries_keeps_versions(spark, tmp_path):
+    """Source-side delivery dedup: redelivered copies of the same
+    (conv_id, turn_idx, text) collapse to one row; genuinely different
+    turn versions (same conv/idx, different text) both survive — version
+    resolution stays C1's job downstream."""
+    from hsip.streaming import dedup_turn_deliveries
+
+    inp = tmp_path / "in_deliv"
+    inp.mkdir()
+    t0 = datetime(2025, 6, 1, 12, 0)
+    rows = [
+        # turn delivered three times (producer retries)
+        ("c1", 0, "user", "hello world", "", t0),
+        ("c1", 0, "user", "hello world", "", t0),
+        ("c1", 0, "user", "hello world", "", t0 + timedelta(seconds=5)),
+        # two *versions* of the same turn: different text, must BOTH pass
+        ("c1", 1, "assistant", "draft answer", "", t0 + timedelta(seconds=10)),
+        ("c1", 1, "assistant", "final answer", "", t0 + timedelta(seconds=20)),
+        # unrelated conversation, delivered twice
+        ("c2", 0, "user", "other conv", "", t0 + timedelta(minutes=1)),
+        ("c2", 0, "user", "other conv", "", t0 + timedelta(minutes=1)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(str(inp / "w.parquet"), index=False)
+
+    deduped = dedup_turn_deliveries(
+        stream_turns(spark, str(inp)), watermark="30 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("deliv_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_deliv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT conv_id, turn_idx, text FROM deliv_dedup").collect()
+    keys = sorted((r.conv_id, r.turn_idx, r.text) for r in got)
+    assert keys == [
+        ("c1", 0, "hello world"),
+        ("c1", 1, "draft answer"),
+        ("c1", 1, "final answer"),
+        ("c2", 0, "other conv"),
+    ]
