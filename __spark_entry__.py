@@ -476,6 +476,32 @@ def dedup_exact_clusters(spark, sf_dir):
     )
 
 
+def dedup_quality_reps(spark, sf_dir):
+    """Quality-aware canonical keeper per exact-dup cluster (RefinedWeb /
+    CCNet policy: keep the BEST copy, not an arbitrary one). Members of
+    an exact-normalized cluster differ in raw text, so 'most complete
+    raw copy' = max n_chars, ties by max doc_id. One map-side-combining
+    aggregate via cc.quality_representatives (max(struct) partial_max —
+    no per-cluster window sort)."""
+    from hsip.cc import quality_representatives
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "h", F.md5(_norm(F.col("text")))
+    )
+    clusters = docs.groupBy("h").agg(F.min("doc_id").alias("cluster_id")).join(
+        docs.select("doc_id", "h"), "h"
+    ).select(F.col("doc_id").alias("id"), "cluster_id")
+    scores = docs.select("doc_id", F.col("n_chars").cast("long").alias("q"))
+    return quality_representatives(
+        clusters, scores, id_col="doc_id", score_col="q"
+    ).select(
+        "cluster_id",
+        F.col("representative").alias("rep_id"),
+        F.col("rep_score").alias("rep_n_chars"),
+        "cluster_size",
+    )
+
+
 def dedup_exact_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn("h", F.md5(_norm(F.col("text"))))
     a, b = docs.alias("a"), docs.alias("b")
@@ -1480,6 +1506,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": events_sessionization,
         # documents / text analysis / dedup oracles
         "dedup_exact_clusters": dedup_exact_clusters,
+        "dedup_quality_reps": dedup_quality_reps,
         "dedup_exact_pairs": dedup_exact_pairs,
         "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
         "pii_redacted_docs": pii_redacted_docs,
@@ -1871,6 +1898,27 @@ def oracle_sql() -> dict[str, str]:
             WITH h AS (SELECT doc_id, md5({norm_text}) AS hh FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM h a JOIN h b ON a.hh = b.hh AND a.doc_id < b.doc_id
+        """,
+        "dedup_quality_reps": f"""
+            WITH c AS (
+                SELECT doc_id, n_chars,
+                       min(doc_id) OVER (PARTITION BY norm) AS cluster_id
+                FROM (SELECT doc_id, n_chars, {norm_text} AS norm
+                      FROM documents)
+            ),
+            r AS (
+                SELECT cluster_id, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id DESC
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY cluster_id) AS csz
+                FROM c
+            )
+            SELECT cluster_id, doc_id AS rep_id,
+                   CAST(n_chars AS BIGINT) AS rep_n_chars,
+                   CAST(csz AS BIGINT) AS cluster_size
+            FROM r WHERE rn = 1
         """,
         "fuzzy_part_name_pairs": """
             WITH names AS (

@@ -150,3 +150,37 @@ def canonical_representatives(clusters: DataFrame) -> DataFrame:
     return clusters.groupBy("cluster_id").agg(
         F.min("id").alias("representative"), F.count(F.lit(1)).alias("cluster_size")
     )
+
+
+def quality_representatives(
+    clusters: DataFrame, scores: DataFrame,
+    id_col: str = "id", score_col: str = "score",
+) -> DataFrame:
+    """X3 variant: quality-aware keeper per cluster — the RefinedWeb /
+    CCNet-style policy of keeping the *best* member of a duplicate
+    cluster rather than an arbitrary one (max score, ties broken by max
+    id, fully deterministic).
+
+    Physical shape: ``max(struct(score, id))`` — lexicographic struct
+    max is JVM-side with a map-side ``partial_max`` combine, so at
+    10^12 rows the exchange carries one (cluster_id, struct) row per
+    map partition, never the member table. Spark plans it as a
+    SortAggregate (struct agg buffers are not hash-aggregable) — the
+    per-partition sort is on the *combined* partials, not a window
+    sort over every cluster's members.
+    """
+    joined = clusters.join(
+        scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")),
+        "id",
+    )
+    best = F.max(F.struct(F.col("_s"), F.col("id"))).alias("_best")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(best, F.count(F.lit(1)).alias("cluster_size"))
+        .select(
+            "cluster_id",
+            F.col("_best.id").alias("representative"),
+            F.col("_best._s").alias("rep_score"),
+            "cluster_size",
+        )
+    )

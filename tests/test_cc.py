@@ -115,3 +115,30 @@ def test_cc_restores_session_confs(spark):
     assert got == {("a", "a"), ("b", "a"), ("c", "a")}
     after = {k: spark.conf.get(k) for k in before}
     assert after == before
+
+
+def test_quality_representatives_argmax_and_ties(spark):
+    """Keeper = max score, ties by max id; singletons keep themselves;
+    physical plan is a hash aggregate (no window sort over members)."""
+    from hsip.cc import quality_representatives
+
+    clusters = spark.createDataFrame(
+        [("d1", "c1"), ("d2", "c1"), ("d3", "c1"), ("d9", "c9")],
+        "id string, cluster_id string",
+    )
+    scores = spark.createDataFrame(
+        [("d1", 10), ("d2", 30), ("d3", 30), ("d9", 5)],
+        "id string, score int",
+    )
+    out = quality_representatives(clusters, scores)
+    got = {
+        r.cluster_id: (r.representative, r.rep_score, r.cluster_size)
+        for r in out.collect()
+    }
+    # c1: d2 and d3 tie at 30 -> max id d3 wins; size counts all members
+    assert got == {"c1": ("d3", 30, 3), "c9": ("d9", 5, 1)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # scale shape: map-side partial_max combine feeding one exchange,
+    # never a Window sort over every cluster's member rows
+    assert "partial_max" in plan
+    assert "Window" not in plan
