@@ -81,6 +81,13 @@ class DedupConfig:
     # RAW text via spans.remove_spans. Independent of the extraction
     # flag; offsets index the input text column as given.
     remove_spans_group_col: str | None = None
+    # representative (keeper) policy — X3. None: deterministic min-id.
+    # Set to a SQL expression over the INPUT frame (e.g. "n_chars",
+    # "length(text)", a quality score column) to keep the BEST member of
+    # each cluster instead (RefinedWeb/CCNet keep-best policy): keeper =
+    # max score, ties broken by max id. SEMANTIC — changes the reps
+    # table, so it participates in the checkpoint fingerprint.
+    rep_score_col: str | None = None
     # normalization (R3)
     lowercase: bool = True
     collapse_ws: bool = True

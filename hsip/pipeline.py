@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from . import verify as V
 from .catalog import Catalog
-from .cc import assign_clusters, canonical_representatives
+from .cc import assign_clusters, canonical_representatives, quality_representatives
 from .checkpoint import Checkpointer, input_fingerprint
 from .config import DedupConfig
 from .lsh import band_table, lsh_candidates, pairs_from_buckets
@@ -407,7 +407,23 @@ def run_documents(
             checkpoint_dir=cfg.cc_checkpoint_dir,
         ),
     )
-    reps = stage("representatives", lambda: canonical_representatives(clusters))
+    if cfg.rep_score_col is not None:
+        # keep-best policy: score is a SQL expression over the INPUT
+        # frame (base only carries id/text); ids align because base
+        # casts the same column. Double-cast keeps the checkpointed
+        # reps schema stable across score expressions.
+        scored = docs.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.expr(cfg.rep_score_col).cast("double").alias("score"),
+        )
+        reps = stage(
+            "representatives",
+            lambda: quality_representatives(clusters, scored),
+        )
+    else:
+        reps = stage(
+            "representatives", lambda: canonical_representatives(clusters)
+        )
 
     spans = None
     if cfg.extract_spans_group_col is not None:

@@ -263,3 +263,28 @@ def test_pipeline_docs_cleaned_stage(spark):
     assert sum(shared in t for t in cleaned.values()) == 1
     assert cleaned["r3"] == rows[2][1]
     assert "docs_cleaned" in res.stats["stage_walls"]
+
+
+def test_rep_score_col_keeps_best_member(spark):
+    """cfg.rep_score_col switches X3 to the keep-best policy: the
+    representative of each cluster is its max-score member (ties max
+    id), and the fingerprint treats the policy as semantic."""
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    rows = [
+        ("short", base),
+        ("longer", base + "extra tail content here"),
+        ("longest", base + "extra tail content here and even more"),
+        ("solo", "completely unrelated text about something else " * 30),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    cfg = DedupConfig(jaccard_threshold=0.6, rep_score_col="length(text)")
+    res = run_documents(spark, docs, "doc_id", "text", cfg,
+                        channels=("minhash_lsh",))
+    reps = {r.cluster_id: (r.representative, r.cluster_size)
+            for r in res.representatives.collect()}
+    by_size = {v[1]: v[0] for v in reps.values()}
+    assert by_size[3] == "longest"   # best (longest) member kept
+    assert by_size[1] == "solo"      # singleton keeps itself
+    assert "rep_score" in res.representatives.columns
+    assert cfg.fingerprint() != DedupConfig(
+        jaccard_threshold=0.6).fingerprint()
