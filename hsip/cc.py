@@ -169,9 +169,14 @@ def quality_representatives(
     per-partition sort is on the *combined* partials, not a window
     sort over every cluster's members.
     """
+    # LEFT join: a member missing from ``scores`` still counts toward
+    # cluster_size and can still be the keeper of an all-unscored
+    # cluster (max id, null rep_score) — but a null score never beats a
+    # real one (null-first struct ordering under max, pinned by test).
     joined = clusters.join(
         scores.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")),
         "id",
+        "left",
     )
     best = F.max(F.struct(F.col("_s"), F.col("id"))).alias("_best")
     return (

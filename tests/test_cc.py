@@ -142,3 +142,21 @@ def test_quality_representatives_argmax_and_ties(spark):
     # never a Window sort over every cluster's member rows
     assert "partial_max" in plan
     assert "Window" not in plan
+
+
+def test_quality_representatives_scoreless_members(spark):
+    """Members missing from scores still count toward cluster_size and
+    never out-rank a scored member; an all-unscored cluster keeps its
+    max id with null rep_score."""
+    from hsip.cc import quality_representatives
+
+    clusters = spark.createDataFrame(
+        [("d1", "c1"), ("d2", "c1"), ("e1", "c2"), ("e2", "c2")],
+        "id string, cluster_id string",
+    )
+    scores = spark.createDataFrame([("d1", 1)], "id string, score int")
+    got = {
+        r.cluster_id: (r.representative, r.rep_score, r.cluster_size)
+        for r in quality_representatives(clusters, scores).collect()
+    }
+    assert got == {"c1": ("d1", 1, 2), "c2": ("e2", None, 2)}
