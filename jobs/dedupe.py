@@ -44,6 +44,10 @@ def parse_args(argv):
     p.add_argument("--checkpoint-dir", default=None,
                    help="fault-tolerant dir for reliable CC round "
                         "checkpoints (default: executor-local, bench-fast)")
+    p.add_argument("--rep-score", default=None,
+                   help="SQL expression over the reassembled docs frame "
+                        "(e.g. 'length(doc_text)'); keeps the max-score "
+                        "member of each cluster instead of the min-id one")
     return p.parse_args(argv)
 
 
@@ -65,6 +69,7 @@ def main(argv=None):
         min_substr_len=args.min_substr_len,
         seed=args.seed,
         cc_checkpoint_dir=args.checkpoint_dir,
+        rep_score_col=args.rep_score,
     )
 
     if args.iceberg_catalog:
