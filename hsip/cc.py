@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -59,12 +60,74 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _local_union_find(sel: DataFrame) -> DataFrame:
+    """Finish a small edge set in ONE single-task Spark job.
+
+    ``sel`` is (src, dst) with self-loops already filtered. The scan is
+    coalesced (no shuffle) into one task that runs a vectorized
+    min-label union-find: hook every edge's higher root onto the lower
+    via ``np.minimum.at``, then pointer-double to a fixpoint — O(log n)
+    numpy passes, no per-edge Python loop. ``np.unique`` sorts ids with
+    the same code-point (binary) order Spark's ``min`` uses on strings,
+    so the min-id labeling convention is bit-identical to the
+    distributed star loop (pinned by tests/test_cc_local.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = sel.schema["src"].dataType
+    out_schema = StructType(
+        [StructField("id", id_type, False), StructField("cluster_id", id_type, False)]
+    )
+
+    def _finish(batches):
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        vals = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True).to_numpy()
+        ids, inv = np.unique(vals, return_inverse=True)
+        m = len(pdf)
+        u, v = inv[:m], inv[m:]
+        parent = np.arange(len(ids))
+        while True:
+            before = parent.copy()
+            pu, pv = parent[u], parent[v]
+            np.minimum.at(parent, np.maximum(pu, pv), np.minimum(pu, pv))
+            while True:
+                gp = parent[parent]
+                if np.array_equal(gp, parent):
+                    break
+                parent = gp
+            if np.array_equal(parent, before):
+                break
+        yield pd.DataFrame({"id": ids, "cluster_id": ids[parent]})
+
+    return sel.coalesce(1).mapInPandas(_finish, schema=out_schema)
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, checkpoint_dir: str | None = None
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    local_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """edges(a, b) -> (id, cluster_id); covers only ids present in edges.
 
     Use ``assign_clusters`` to extend to singleton ids.
+
+    Scale-adaptive plan selection: the star loop's cost at small scale
+    is not compute but *latency* — ~10 driver round-trips per round
+    (BENCH/BASELINE.md round 5), a serial floor that no executor count
+    amortizes. When the edge set is at most ``local_max_edges`` rows
+    (one cheap count — a scan-only agg, no shuffle), the graph is
+    finished instead by ``_local_union_find``: one single-task job,
+    zero iterations. 1M string edges is ~tens of MB in that task —
+    comfortably inside one executor core's memory. Above the threshold
+    (the 10^12-turn regime) the iterative large-star/small-star loop
+    runs exactly as before; both paths produce identical rows and the
+    same min-id labels. Set ``local_max_edges=0`` to force the
+    distributed loop.
 
     Lineage truncation per round: ``localCheckpoint`` (executor-local,
     fast — right for benchmarks and ephemeral jobs) unless
@@ -76,6 +139,17 @@ def connected_components(
     """
     spark = edges.sparkSession
     sc = spark.sparkContext
+    sel = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        if set(edges.columns) >= {"a", "b"}
+        else edges.select(F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    if local_max_edges > 0:
+        sc.setJobDescription("hsip:cc_size_probe")
+        n_edges = sel.count()
+        sc.setJobDescription(None)
+        if n_edges <= local_max_edges:
+            return _local_union_find(sel)
     if checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
 
@@ -103,11 +177,7 @@ def connected_components(
     for k, v in _tuned.items():
         spark.conf.set(k, v)
     try:
-        e = _trunc(
-            edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-        )
+        e = _trunc(sel.distinct())
         prev = _checksum(e)
         for rnd in range(max_iter):
             sc.setJobDescription(f"hsip:cc_round_{rnd}")
@@ -135,10 +205,12 @@ def connected_components(
 
 def assign_clusters(
     all_ids: DataFrame, edges: DataFrame, id_col: str = "id",
-    checkpoint_dir: str | None = None,
+    checkpoint_dir: str | None = None, local_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """X2: full cluster table over every id; singletons -> own id."""
-    comp = connected_components(edges, checkpoint_dir=checkpoint_dir)
+    comp = connected_components(
+        edges, checkpoint_dir=checkpoint_dir, local_max_edges=local_max_edges
+    )
     ids = all_ids.select(F.col(id_col).alias("id")).distinct()
     return ids.join(comp, "id", "left").select(
         "id", F.coalesce("cluster_id", "id").alias("cluster_id")
