@@ -63,7 +63,9 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
 def _local_union_find(sel: DataFrame) -> DataFrame:
     """Finish a small edge set in ONE single-task Spark job.
 
-    ``sel`` is (src, dst) with self-loops already filtered. The scan is
+    ``sel`` is (src, dst), self-loop-free, deduped, and already
+    lineage-truncated by the caller (so the coalesced scan reads a flat
+    checkpointed RDD, never the upstream pair DAG). The scan is
     coalesced (no shuffle) into one task that runs a vectorized
     min-label union-find: hook every edge's higher root onto the lower
     via ``np.minimum.at``, then pointer-double to a fixpoint — O(log n)
@@ -119,15 +121,23 @@ def connected_components(
     Scale-adaptive plan selection: the star loop's cost at small scale
     is not compute but *latency* — ~10 driver round-trips per round
     (BENCH/BASELINE.md round 5), a serial floor that no executor count
-    amortizes. When the edge set is at most ``local_max_edges`` rows
-    (one cheap count — a scan-only agg, no shuffle), the graph is
-    finished instead by ``_local_union_find``: one single-task job,
-    zero iterations. 1M string edges is ~tens of MB in that task —
-    comfortably inside one executor core's memory. Above the threshold
-    (the 10^12-turn regime) the iterative large-star/small-star loop
-    runs exactly as before; both paths produce identical rows and the
-    same min-id labels. Set ``local_max_edges=0`` to force the
-    distributed loop.
+    amortizes. When the DISTINCT edge set is at most ``local_max_edges``
+    rows, the graph is finished instead by ``_local_union_find``: one
+    single-task job, zero iterations. 1M string edges is ~tens of MB in
+    that task — comfortably inside one executor core's memory. Above
+    the threshold (the 10^12-turn regime) the iterative
+    large-star/small-star loop runs exactly as before; both paths
+    produce identical rows and the same min-id labels. Set
+    ``local_max_edges=0`` to force the distributed loop.
+
+    Order matters: the edge set is deduped and lineage-truncated ONCE,
+    before the size probe or either physical path consumes it. Probing
+    the raw plan instead would re-execute the whole upstream pair DAG
+    per action — below the pipeline's eager-barrier threshold that DAG
+    is cached-but-not-checkpointed and its feature caches are already
+    released, so every extra action re-ran the 3-channel verify
+    (measured ~3.2 s per action on the 57k-turn bench corpus, turning
+    the fast path into a net loss before this ordering).
 
     Lineage truncation per round: ``localCheckpoint`` (executor-local,
     fast — right for benchmarks and ephemeral jobs) unless
@@ -144,12 +154,6 @@ def connected_components(
         if set(edges.columns) >= {"a", "b"}
         else edges.select(F.col(edges.columns[0]).alias("src"), F.col(edges.columns[1]).alias("dst"))
     ).filter(F.col("src") != F.col("dst"))
-    if local_max_edges > 0:
-        sc.setJobDescription("hsip:cc_size_probe")
-        n_edges = sel.count()
-        sc.setJobDescription(None)
-        if n_edges <= local_max_edges:
-            return _local_union_find(sel)
     if checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
 
@@ -158,6 +162,20 @@ def connected_components(
     else:
         def _trunc(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
+
+    # Dedupe + truncate FIRST (see docstring): one materialization, with
+    # ambient AQE still on for this one genuinely-large shuffle (skew
+    # handling matters for the initial distinct at 10^12-turn scale; the
+    # AQE-off tuning below targets the loop's tiny per-round exchanges).
+    sc.setJobDescription("hsip:cc_edges")
+    e = _trunc(sel.distinct())
+    sc.setJobDescription(None)
+    if local_max_edges > 0:
+        sc.setJobDescription("hsip:cc_size_probe")
+        n_edges = e.count()  # flat scan of the truncated RDD — no shuffle
+        sc.setJobDescription(None)
+        if n_edges <= local_max_edges:
+            return _local_union_find(e)
 
     # Latency-tune the iterative loop: each round is tiny (the edge set
     # shrinks toward one row per member) but drives 5-6 exchanges, and
@@ -177,7 +195,6 @@ def connected_components(
     for k, v in _tuned.items():
         spark.conf.set(k, v)
     try:
-        e = _trunc(sel.distinct())
         prev = _checksum(e)
         for rnd in range(max_iter):
             sc.setJobDescription(f"hsip:cc_round_{rnd}")
