@@ -378,15 +378,20 @@ def run_documents(
     verified_parts = _run_channels(spark, builders)
 
     verified = stage("verified", lambda: V.combine_verified(*verified_parts))
-    if not use_ckpt and eager_barriers:
+    if not use_ckpt:
         # Ephemeral mode keeps the full 3-channel logical plan behind the
         # cached `verified`; every downstream action (metric counts, the
         # CC seed job, representatives) re-runs Catalyst over that
         # thousand-node plan — the event-log decomposition measured a
         # ~14 s pure-driver gap on the 2.76M-turn corpus just planning
-        # the CC seed (BENCH/BASELINE.md round 5). Truncate to a flat
-        # scan: eager localCheckpoint reads straight from the cache just
-        # materialized, then the cache itself is released below.
+        # the CC seed (BENCH/BASELINE.md round 5). Worse, a cached-only
+        # `verified` is fragile: the scratch release below and the final
+        # base.unpersist() clear dependent cache buffers (Spark recaches
+        # dependents lazily), so every later consumer re-executed the
+        # whole verify DAG (~3.2 s per action at 57k turns). Truncate to
+        # a flat scan at EVERY scale: eager localCheckpoint reads
+        # straight from the cache just materialized (a copy of only the
+        # verified pairs — tiny), then the cache itself is released.
         # (Checkpoint mode already reads back from parquet — flat plan.)
         _t0 = time.time()
         flat = verified.localCheckpoint(eager=True)
@@ -407,6 +412,16 @@ def run_documents(
             checkpoint_dir=cfg.cc_checkpoint_dir,
         ),
     )
+    if not use_ckpt:
+        # Same truncation as `verified` above, same reason: the cached
+        # clusters plan still references `base`, whose unpersist at
+        # return would clear these buffers and make every post-return
+        # action (the representatives stage's consumers, catalog writes,
+        # API callers) recompute through the join. One flat copy of the
+        # (id, cluster_id) table — the smallest frame in the pipeline.
+        _flat_cl = clusters.localCheckpoint(eager=True)
+        clusters.unpersist()
+        clusters = _flat_cl
     if cfg.rep_score_col is not None:
         # keep-best policy: score is a SQL expression over the INPUT
         # frame (base only carries id/text); ids align because base
