@@ -54,7 +54,8 @@ t0 = time.time()
 res = run_transcripts(spark, turns, DedupConfig())
 res.clusters.count()
 dt = time.time() - t0
-print(json.dumps({{"turns": n, "wall_sec": dt}}))
+print(json.dumps({{"turns": n, "wall_sec": dt,
+                   "stage_walls": res.stats.get("stage_walls", {{}})}}))
 spark.stop()
 """
 
@@ -150,11 +151,16 @@ def main():
     results = {}
     walls: dict[str, list] = {m_lo: [], m_hi: []}
     turns_at: dict[str, int] = {}
+    stage_walls: dict[str, dict] = {}
     for i in range(args.runs):
         for master in (m_lo, m_hi):
             r = run_once(master, paths[master])
             walls[master].append(r["wall_sec"])
             turns_at[master] = r["turns"]
+            # keep the stage decomposition of the BEST run per level so
+            # the sidecar can attribute where a rung's wall actually goes
+            if r["wall_sec"] == min(walls[master]):
+                stage_walls[master] = r.get("stage_walls", {})
             # stream per-rung walls so a long ladder is observable mid-run
             sys.stderr.write(
                 f"[scaling] run {i + 1}/{args.runs} {master}: "
@@ -168,6 +174,7 @@ def main():
             "wall_sec": round(best, 1),
             "turns_per_sec": round(turns_at[master] / best, 1),
             "all_walls": [round(w, 1) for w in ws],
+            "stage_walls": stage_walls.get(master, {}),
         }
 
     t_lo = results[m_lo]["turns_per_sec"]
