@@ -81,6 +81,25 @@ class DedupConfig:
     # RAW text via spans.remove_spans. Independent of the extraction
     # flag; offsets index the input text column as given.
     remove_spans_group_col: str | None = None
+    # exact-collapse pre-pass: group byte-identical texts BEFORE the
+    # near-dup channels and featurize/block/verify ONE representative per
+    # distinct text; members attach back as verified ``exact``-channel
+    # edges (a = group min-id rep, b = member), so CC recovers identical
+    # cluster assignments (byte-equal texts have byte-equal shingles,
+    # signatures and fingerprints — every channel's verdict is invariant
+    # under the substitution). This is the standard industrial layout
+    # (exact dedup -> MinHash over uniques): on boilerplate-heavy corpora
+    # the candidate-pair count inside hot buckets grows with the SQUARE
+    # of the copy count, so collapsing copies is the difference between
+    # O(distinct^2)-bounded and O(corpus^2)-bounded candidate work at
+    # 10^12 turns. Costs two shuffles of (id, 16-byte text hash).
+    # SEMANTIC ONLY for sub-shingle-size texts: byte-identical docs too
+    # short for any channel to feature (e.g. empty strings) cluster
+    # together here but not in the default path — a strictly more
+    # correct answer; everywhere else output is equal (pinned by
+    # tests/test_pipeline_e2e.py). Default off so the per-pair verified
+    # table keeps its brute-force-oracle-pinned shape.
+    collapse_exact: bool = False
     # representative (keeper) policy — X3. None: deterministic min-id.
     # Set to a SQL expression over the INPUT frame (e.g. "n_chars",
     # "length(text)", a quality score column) to keep the BEST member of

@@ -199,6 +199,41 @@ def run_documents(
     # (VERDICT.md r3 item 5). Threads only append (GIL-atomic).
     scratch: list[DataFrame] = []
 
+    # Exact-collapse pre-pass (config.py collapse_exact): byte-identical
+    # texts are grouped on a 16-byte md5 key and every channel sees ONE
+    # representative (the group min-id) per distinct text; the remaining
+    # members re-enter as pre-verified ``exact``-channel edges, so CC
+    # reconstitutes the full clusters. Channel verdicts are functions of
+    # the text alone, so substituting a byte-equal rep changes no verdict
+    # — only the candidate count, which inside an n-copy hot bucket drops
+    # from O(n) star edges per band/table to one rep row. Cost: one
+    # column-pruned shuffle of (md5, id) for the group-min, one shuffle
+    # of base joining reps back. At 10^12 turns this is the standard
+    # exact-then-near layout (CCNet/RefinedWeb): near-dup work scales
+    # with DISTINCT texts, not copies.
+    exact_edges = None
+    chan_base = base
+    if cfg.collapse_exact:
+        def build_collapse():
+            # coalesce: null text keys as "" (an equi-join would silently
+            # drop null keys); channels normalize null the same way
+            tkey = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8"))
+            keyed = base.select("id", "text", tkey.alias("_tkey"))
+            reps = keyed.groupBy("_tkey").agg(F.min("id").alias("_rep"))
+            return keyed.join(reps, "_tkey").select("id", "text", "_rep")
+
+        collapsed = stage("exact_collapse", build_collapse)
+        scratch.append(collapsed)
+        exact_edges = (
+            collapsed.filter(F.col("id") != F.col("_rep"))
+            .select(F.col("_rep").alias("a"), F.col("id").alias("b"),
+                    F.lit("exact").alias("channel"),
+                    F.lit(True).alias("verdict"))
+        )
+        chan_base = collapsed.filter(F.col("id") == F.col("_rep")).select(
+            "id", "text"
+        )
+
     # Featurization is built LAZILY, inside whichever channel builder
     # consumes it (exactly one does in every configuration), so the
     # substring channel — which reads only `base` — starts at t=0 and
@@ -219,7 +254,7 @@ def run_documents(
                 return
             if cfg.fused_kernel and (need_mh or need_sh):
                 # one Arrow pass computes shingles+sig+simhash (textkernel.py)
-                feats = stage("features", lambda: featurize(base, "id", "text", cfg))
+                feats = stage("features", lambda: featurize(chan_base, "id", "text", cfg))
                 scratch.append(feats)
                 shingles = feats.select("id", "shingles")
                 sigs = feats.select("id", "sig")
@@ -227,7 +262,7 @@ def run_documents(
             else:
                 if need_mh:
                     shingles = stage(
-                        "shingles", lambda: shingle_docs(base, "id", "text", cfg)
+                        "shingles", lambda: shingle_docs(chan_base, "id", "text", cfg)
                     )
                     sigs = stage(
                         "minhash", lambda: attach_minhash(shingles, cfg), reuse=False
@@ -235,7 +270,7 @@ def run_documents(
                     scratch.append(shingles)
                 if need_sh:
                     simhashes = stage(
-                        "simhash", lambda: attach_simhash(base, "id", "text", cfg)
+                        "simhash", lambda: attach_simhash(chan_base, "id", "text", cfg)
                     )
                     scratch.append(simhashes)
 
@@ -332,7 +367,7 @@ def run_documents(
 
     def _sub_channel() -> DataFrame:
         # cache: the bucket expansion filters this table along two branches
-        fps = stage("substr_fps", lambda: fingerprint_table(base, "id", "text", cfg))
+        fps = stage("substr_fps", lambda: fingerprint_table(chan_base, "id", "text", cfg))
         scratch.append(fps)
 
         def build_substr():
@@ -357,7 +392,7 @@ def run_documents(
         sub_pairs = stage("substr_candidates", build_substr, reuse=False)
         return stage(
             "verify_substr",
-            lambda: verify_substr(sub_pairs, base, "id", "text", cfg,
+            lambda: verify_substr(sub_pairs, chan_base, "id", "text", cfg,
                                   scratch=scratch),
             reuse=False,
         )
@@ -376,6 +411,11 @@ def run_documents(
         builders.append(("substr", _sub_channel))
 
     verified_parts = _run_channels(spark, builders)
+    if exact_edges is not None:
+        # collapse-mode members re-enter as pre-verified edges; the union
+        # + per-pair merge in combine_verified gives them the same
+        # (a, b, channels, verdict) shape as channel output
+        verified_parts = [*verified_parts, exact_edges]
 
     verified = stage("verified", lambda: V.combine_verified(*verified_parts))
     if not use_ckpt:
@@ -405,6 +445,31 @@ def run_documents(
     for cached in scratch:
         cached.unpersist()
     scratch.clear()
+    # Work counters: one cheap scan of the flat pair table (the smallest
+    # frame in the pipeline). A wall-clock efficiency reading alone can't
+    # distinguish "the engine scaled badly" from "the workload grew
+    # superlinearly" — on boilerplate-heavy corpora the candidate-pair
+    # count grows faster than the corpus (near-identical docs pair
+    # quadratically within a cluster), so a weak-scaling rung carries
+    # more work per doc at 4x. Recording pairs per channel lets the
+    # scaling sidecar report work-normalized throughput alongside the
+    # raw ratio (BENCH/BASELINE.md round 5).
+    stats["n_docs"] = n_docs
+    _tot = verified.agg(
+        F.count("*").alias("cand"),
+        F.coalesce(F.sum(F.col("verdict").cast("long")), F.lit(0)).alias("dup"),
+    ).collect()[0]
+    stats["verified_candidates"] = _tot["cand"]
+    stats["duplicate_pairs"] = _tot["dup"]
+    # channel attribution of the ACCEPTED pairs (candidates are merged
+    # per-pair upstream in combine_verified, so only the accepting
+    # channel set survives to here)
+    stats["dup_pairs_by_channel"] = {
+        r["channel"]: r["n"]
+        for r in verified.filter("verdict")
+        .select(F.explode("channels").alias("channel"))
+        .groupBy("channel").agg(F.count("*").alias("n")).collect()
+    }
     clusters = stage(
         "clusters",
         lambda: assign_clusters(

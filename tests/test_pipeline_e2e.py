@@ -34,6 +34,45 @@ def test_recall_against_planted_truth(spark, corpus, result):
     assert ev.precision >= 0.95
 
 
+def test_work_counters_in_stats(spark, corpus, result):
+    """Scaling sidecars work-normalize efficiency from these counters:
+    they must exist, be internally consistent, and agree with the
+    verified frame they summarize."""
+    st = result.stats
+    assert st["n_docs"] == result.clusters.count()
+    assert st["verified_candidates"] == result.verified.count()
+    assert st["duplicate_pairs"] == result.verified.filter("verdict").count()
+    assert 0 < st["duplicate_pairs"] <= st["verified_candidates"]
+    by_ch = st["dup_pairs_by_channel"]
+    assert set(by_ch) <= {"minhash_lsh", "simhash", "substr", "exact"}
+    # every accepted pair is attributed to >= 1 channel
+    assert sum(by_ch.values()) >= st["duplicate_pairs"]
+
+
+def test_collapse_exact_preserves_clusters(spark, corpus, result):
+    """collapse_exact=True must yield byte-identical cluster assignments:
+    byte-equal texts have byte-equal features, so substituting the group
+    rep changes candidate bookkeeping, never verdicts or components."""
+    turns, truth = corpus
+    r2 = run_transcripts(spark, turns, DedupConfig(collapse_exact=True))
+    a = {r.id: r.cluster_id for r in result.clusters.collect()}
+    b = {r.id: r.cluster_id for r in r2.clusters.collect()}
+    assert a == b
+    # members re-enter as pre-verified exact edges, and the channel work
+    # shrank: every exact-copy conversation left the candidate set
+    ex = r2.verified.filter(F.array_contains("channels", "exact"))
+    n_exact_members = ex.count()
+    assert n_exact_members > 0
+    assert ex.filter(~F.col("verdict")).count() == 0
+    assert "exact_collapse" in r2.stats["stage_walls"]
+    assert r2.stats["verified_candidates"] < result.stats["verified_candidates"]
+    # planted-truth quality is unchanged
+    ours = cluster_pairs(r2.clusters)
+    _, truth_df = (turns, truth)
+    ev, _ = evaluate_pairs(ours, truth_pairs(truth_df))
+    assert ev.recall >= 0.99 and ev.precision >= 0.95
+
+
 def test_hotband_not_merged(spark, corpus, result):
     """Boilerplate-sharing conversations must NOT cluster together."""
     _, truth = corpus
