@@ -818,6 +818,34 @@ def minhash_e2e_clusters(spark, sf_dir):
     return res.clusters
 
 
+def dedup_collapse_clusters(spark, sf_dir):
+    """Exact-collapse mode (config.py collapse_exact) under the same
+    oracle-able config as minhash_e2e_clusters, over a corpus with
+    PLANTED byte-identical copies (every doc_id % 5 == 0 re-enters under
+    doc_id + 100000 — derived identically in the DuckDB oracle). The
+    near-dup channel sees one representative per distinct text; members
+    rejoin as pre-verified exact edges, and the clusters must still equal
+    connected components of the Jaccard>=0.7 graph, because byte-equal
+    non-empty texts have Jaccard exactly 1."""
+    from hsip.config import DedupConfig
+    from hsip.pipeline import run_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    cfg = DedupConfig(
+        num_perm=256, lsh_bands=256, lsh_rows=1,
+        jaccard_threshold=0.7, bucket_cap=1_000_000,
+        collapse_exact=True,
+    )
+    res = run_documents(
+        spark, docs.unionByName(copies), "doc_id", "text", cfg,
+        channels=("minhash_lsh",),
+    )
+    return res.clusters
+
+
 def shingle_counts(spark, sf_dir):
     """G1 oracle without engine-specific hashing: distinct 3-gram counts."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -1527,6 +1555,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_signals": doc_repetition_signals,
         "decontam_flagged_docs": decontam_flagged_docs,
         "minhash_e2e_clusters": minhash_e2e_clusters,
+        "dedup_collapse_clusters": dedup_collapse_clusters,
         "substr_pairs": substr_pairs,
         "doc_chunks": doc_chunks,
         "video_frame_samples": video_frame_samples,
@@ -2341,6 +2370,56 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(doc_id AS VARCHAR) AS id,
                        {norm_text} AS nt
                 FROM documents
+            ),
+            tok AS (
+                SELECT id, nt,
+                       list_filter(string_split(nt, ' '), x -> x <> '') AS toks
+                FROM t
+            ),
+            sh AS (
+                SELECT id,
+                       CASE
+                           WHEN nt = '' THEN []::VARCHAR[]
+                           WHEN len(toks) >= 5 THEN list_distinct(
+                               list_transform(
+                                   range(1, len(toks) - 3),
+                                   i -> array_to_string(toks[i:i+4], ' ')
+                               ))
+                           ELSE [nt]
+                       END AS s
+                FROM tok
+            ),
+            pairs AS (
+                SELECT a.id AS ia, b.id AS ib
+                FROM sh a JOIN sh b ON a.id < b.id
+                WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+                  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+            ),
+            edges AS (
+                SELECT ia AS src, ib AS dst FROM pairs
+                UNION ALL
+                SELECT ib AS src, ia AS dst FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT id, id FROM t
+                UNION
+                SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+            )
+            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        # collapse_exact mode over planted byte-identical copies: the SAME
+        # Jaccard>=0.7 reachability closure as minhash_e2e_clusters — the
+        # pre-pass must not change components, only candidate bookkeeping.
+        "dedup_collapse_clusters": f"""
+            WITH RECURSIVE aug AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+                UNION ALL
+                SELECT CAST(doc_id + 100000 AS VARCHAR) AS id, text
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            t AS (
+                SELECT id, {norm_text} AS nt FROM aug
             ),
             tok AS (
                 SELECT id, nt,
