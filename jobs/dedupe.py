@@ -44,6 +44,12 @@ def parse_args(argv):
     p.add_argument("--checkpoint-dir", default=None,
                    help="fault-tolerant dir for reliable CC round "
                         "checkpoints (default: executor-local, bench-fast)")
+    p.add_argument("--collapse-exact", action="store_true",
+                   help="exact-collapse pre-pass: near-dup channels run "
+                        "on one representative per distinct text; members "
+                        "rejoin as verified exact edges (identical "
+                        "clusters, candidate work scales with distinct "
+                        "texts instead of copy counts)")
     p.add_argument("--rep-score", default=None,
                    help="SQL expression over the reassembled docs frame "
                         "(e.g. 'length(doc_text)'); keeps the max-score "
@@ -70,6 +76,7 @@ def main(argv=None):
         seed=args.seed,
         cc_checkpoint_dir=args.checkpoint_dir,
         rep_score_col=args.rep_score,
+        collapse_exact=args.collapse_exact,
     )
 
     if args.iceberg_catalog:

@@ -68,6 +68,10 @@ def test_spark_submit_pyfiles_local_cluster(spark, tmp_path):
         "--input", input_dir,
         "--warehouse", wh,
         "--run-id", "smoke",
+        # exercises the exact-collapse pre-pass through the submit path
+        # AND its checkpointed stage (clusters are identical either way —
+        # pinned by test_pipeline_e2e.py — so the assertions below hold)
+        "--collapse-exact",
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=600, cwd=str(tmp_path)
