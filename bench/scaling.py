@@ -51,7 +51,8 @@ turns = turns.select("conv_id", F.col("turn_idx").cast("int"), "role",
                      "text", "tool", F.col("ts").cast("timestamp")).cache()
 n = turns.count()
 t0 = time.time()
-res = run_transcripts(spark, turns, DedupConfig())
+cfg = DedupConfig(collapse_exact=bool(int(os.environ.get("HSIP_COLLAPSE_EXACT", "0"))))
+res = run_transcripts(spark, turns, cfg)
 res.clusters.count()
 dt = time.time() - t0
 print(json.dumps({{"turns": n, "wall_sec": dt,
@@ -132,8 +133,16 @@ def main():
     ap.add_argument("--mode", choices=sorted(_MODES), default="threads")
     ap.add_argument("--n-base", type=int, default=20000)
     ap.add_argument("--runs", type=int, default=1)
+    # measure the exact-collapse pre-pass config (pipeline.py): same
+    # protocol, sidecar suffixed so default-config readings are never
+    # overwritten by collapse-config ones
+    ap.add_argument("--collapse-exact", action="store_true")
     args = ap.parse_args()
     m_lo, m_hi, metric, sidecar = _MODES[args.mode]
+    if args.collapse_exact:
+        os.environ["HSIP_COLLAPSE_EXACT"] = "1"
+        metric += "_collapse_exact"
+        sidecar = sidecar.replace("_latest.json", "_collapse_latest.json")
 
     os.environ["HSIP_BENCH_NBASE"] = str(args.n_base)
     sys.path.insert(0, REPO)
