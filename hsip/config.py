@@ -38,7 +38,15 @@ class DedupConfig:
     hot_bucket_policy: str = "star"
     # verification (V2)
     jaccard_threshold: float = 0.8
-    # SimHash (G5/G6)
+    # SimHash (G5/G6). 64 is the implemented width (the bit-vote kernel
+    # and Hamming verify pack the fingerprint into one long); the knob
+    # exists because probe-key ENTROPY — (blocks-d)/blocks * bits — is
+    # the lever that bounds random candidate collisions at extreme doc
+    # counts (keep it >= ~log2(n_docs) + margin; at B=8, d=3, 64 bits
+    # the 40-bit keys measurably birthday-collide by ~135k concentrated-
+    # bit docs — BENCH/BASELINE.md round-5 work counters). A 128-bit
+    # width (80-bit keys) is the documented 10^9+-distinct-docs config;
+    # validated here so requesting it fails loudly, not silently at 64.
     simhash_bits: int = 64
     hamming_d: int = 3              # candidates within Hamming distance d
     # B blocks -> C(B, B-d) probe tables with (B-d)*64/B-bit keys
@@ -139,6 +147,17 @@ class DedupConfig:
         common substring of length >= L is guaranteed to share a selected
         fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD 2003, thm 1)."""
         return self.min_substr_len - self.winnow_window + 1
+
+    def __post_init__(self):
+        if self.simhash_bits != 64:
+            raise ValueError(
+                "simhash_bits: only the 64-bit fingerprint is implemented "
+                "(one-long bit-vote kernel + bit_count(xor) verify); see "
+                "the field comment for the key-entropy sizing rule this "
+                "knob is reserved for"
+            )
+        if self.hamming_blocks <= self.hamming_d:
+            raise ValueError("hamming_blocks must exceed hamming_d")
 
     _NON_SEMANTIC = frozenset({"cc_checkpoint_dir", "eager_barrier_min_docs"})
 

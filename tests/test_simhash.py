@@ -99,3 +99,15 @@ def test_empty_text_zero(spark):
     df = spark.createDataFrame([(1, ""), (2, None)], "doc_id int, text string")
     rows = attach_simhash(df, "doc_id", "text", cfg).collect()
     assert all(r.simhash == 0 for r in rows)
+
+
+def test_unimplemented_simhash_width_fails_loudly():
+    """simhash_bits is the reserved probe-key-entropy lever (config.py);
+    until a 128-bit kernel exists, requesting it must raise at config
+    construction, never silently run 64-bit."""
+    import pytest
+
+    with pytest.raises(ValueError, match="simhash_bits"):
+        DedupConfig(simhash_bits=128)
+    with pytest.raises(ValueError, match="hamming_blocks"):
+        DedupConfig(hamming_blocks=2, hamming_d=3)
