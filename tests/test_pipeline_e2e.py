@@ -327,3 +327,44 @@ def test_rep_score_col_keeps_best_member(spark):
     assert "rep_score" in res.representatives.columns
     assert cfg.fingerprint() != DedupConfig(
         jaccard_threshold=0.6).fingerprint()
+
+
+def test_collapse_exact_degenerate_corpora(spark):
+    """All-identical and all-distinct corpora through collapse mode: the
+    two ends of the copy-multiplicity spectrum the pre-pass exists for."""
+    n = 40
+    same = spark.createDataFrame(
+        [(i, "the same exact document text repeated verbatim") for i in range(n)],
+        "doc_id int, text string",
+    )
+    r = run_documents(spark, same, "doc_id", "text",
+                      DedupConfig(collapse_exact=True))
+    assert r.clusters.select("cluster_id").distinct().count() == 1
+    ex = r.verified.filter(F.array_contains("channels", "exact"))
+    assert ex.count() == n - 1          # every member -> the min-id rep
+    assert r.stats["n_docs"] == n
+    assert r.representatives.count() == 1
+
+    distinct = spark.createDataFrame(
+        [(i, f"completely unrelated document number {i} "
+             f"with its own vocabulary token{i}a token{i}b") for i in range(n)],
+        "doc_id int, text string",
+    )
+    r2 = run_documents(spark, distinct, "doc_id", "text",
+                       DedupConfig(collapse_exact=True))
+    assert r2.clusters.select("cluster_id").distinct().count() == n
+    assert r2.verified.filter(F.array_contains("channels", "exact")).count() == 0
+
+
+def test_collapse_exact_checkpoint_resume(spark, corpus, tmp_path_factory):
+    """The collapse stage participates in the checkpoint/resume contract:
+    a resumed run skips it and still reproduces identical clusters."""
+    turns, _ = corpus
+    wh = str(tmp_path_factory.mktemp("wh_collapse"))
+    cfg = DedupConfig(collapse_exact=True)
+    r1 = run_transcripts(spark, turns, cfg, warehouse=wh, run_id="ck")
+    r2 = run_transcripts(spark, turns, cfg, warehouse=wh, run_id="ck")
+    assert "exact_collapse" in r2.stats["skipped_stages"]
+    a = {(r.id, r.cluster_id) for r in r1.clusters.collect()}
+    b = {(r.id, r.cluster_id) for r in r2.clusters.collect()}
+    assert a == b
