@@ -193,6 +193,32 @@ def run_documents(
     eager_barriers = n_docs >= cfg.eager_barrier_min_docs
     stats["eager_barriers"] = eager_barriers
 
+    if need_sh:
+        # key-entropy advisory (config.py simhash_bits sizing rule): fail
+        # LOUDLY when the corpus outgrows the probe keys' collision budget
+        # instead of silently flooding verify with random candidates
+        from .simhash import probe_key_entropy
+
+        entropy = probe_key_entropy(cfg, n_docs)
+        stats["probe_key_entropy"] = entropy
+        if rec:
+            rec.metric("simhash_candidates", "probe_key_bits", entropy["key_bits"])
+            rec.metric(
+                "simhash_candidates", "probe_key_bits_needed", entropy["needed_bits"]
+            )
+        if not entropy["ok"]:
+            import warnings
+
+            warnings.warn(
+                f"simhash probe keys carry {entropy['key_bits']:.0f} bits but "
+                f"{entropy['needed_bits']:.1f} are needed at n_docs={n_docs} "
+                f"(expected random collisions "
+                f"{entropy['expected_random_collisions']:.2e}); raise "
+                "hamming_blocks-hamming_d key width or simhash_bits "
+                "(config.py sizing rule)",
+                stacklevel=2,
+            )
+
     # caches whose LAST consumer is the channel verify phase — released
     # in one sweep after the `verified` stage materializes, so a long
     # session running many pipelines doesn't accrete executor storage

@@ -143,6 +143,44 @@ def hamming_block_table(simhash_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def probe_key_entropy(cfg: DedupConfig, n_docs: int, margin_bits: float = 8.0) -> dict:
+    """Runtime check of the key-entropy sizing rule (config.py simhash_bits).
+
+    The probe keys carry ``key_bits = (B-d) * (simhash_bits/B)`` bits. Two
+    budgets must hold at corpus size n:
+
+    - **rule**: ``key_bits >= log2(n_docs) + margin`` — the documented
+      operating envelope (config.py); below it even uniformly-random
+      fingerprints birthday-collide into the verify stage.
+    - **expected_random_collisions**: ``T * C(n,2) / 2^key_bits`` summed
+      over the T = C(B, B-d) tables — the absolute expectation under the
+      uniform-bit model. On real corpora bits concentrate and the true
+      count is higher (measured: ~1.6M candidates at 135k fixed-vocab
+      docs where this expectation reads ~0.5 — BENCH/BASELINE.md r5), so
+      this is a FLOOR, useful for sizing, not a guarantee.
+
+    Returns a dict of both; ``ok`` is the rule verdict. The pipeline
+    records these per run and warns when ``ok`` is False, so a 10^9+-doc
+    deployment on the 64-bit config fails loudly at submit time instead
+    of silently flooding verification.
+    """
+    import itertools
+    import math
+
+    B, d = cfg.hamming_blocks, cfg.hamming_d
+    key_bits = (B - d) * (cfg.simhash_bits // B)
+    n_tables = sum(1 for _ in itertools.combinations(range(B), B - d))
+    needed = math.log2(max(n_docs, 2)) + margin_bits
+    exp_pairs = n_tables * (n_docs * (n_docs - 1) / 2.0) / float(2 ** key_bits)
+    return {
+        "key_bits": float(key_bits),
+        "needed_bits": needed,
+        "n_tables": float(n_tables),
+        "expected_random_collisions": exp_pairs,
+        "ok": key_bits >= needed,
+    }
+
+
 def simhash_candidates(simhash_df: DataFrame, cfg: DedupConfig,
                        scratch: list | None = None) -> tuple[DataFrame, DataFrame]:
     # scratch: optional list the block cache is appended to so the caller

@@ -111,3 +111,46 @@ def test_unimplemented_simhash_width_fails_loudly():
         DedupConfig(simhash_bits=128)
     with pytest.raises(ValueError, match="hamming_blocks"):
         DedupConfig(hamming_blocks=2, hamming_d=3)
+
+
+def test_probe_key_entropy_rule():
+    """The runtime sizing advisory (config.py key-entropy rule): default
+    config carries 40-bit keys — comfortable at 135k docs, violated at
+    10^12 — and the uniform-model collision floor scales with n^2/2^k."""
+    from hsip.simhash import probe_key_entropy
+
+    cfg = DedupConfig()
+    at_135k = probe_key_entropy(cfg, 135_203)
+    assert at_135k["key_bits"] == 40.0
+    assert at_135k["n_tables"] == 56.0
+    assert at_135k["ok"]  # log2(135k)+8 ~ 25 < 40
+    # uniform-bit floor ~ 0.47 pairs: confirms the measured 1.6M candidates
+    # on the fixture are bit concentration, not birthday (BENCH/BASELINE.md)
+    assert 0.1 < at_135k["expected_random_collisions"] < 1.0
+
+    at_1e12 = probe_key_entropy(cfg, 10**12)
+    assert not at_1e12["ok"]  # log2(1e12)+8 ~ 47.9 > 40
+    assert at_1e12["expected_random_collisions"] > 1e9
+
+
+def test_pipeline_emits_entropy_advisory(spark, tmp_path):
+    """run_documents records the advisory in stats and warns when the
+    corpus outgrows the probe keys (forced here via a tiny margin by
+    monkeypatching n/a — instead assert the stats payload shape on a
+    small corpus where the rule passes silently)."""
+    import warnings
+
+    from hsip.pipeline import run_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + " ".join(f"w{j}" for j in range(120))) for i in range(8)],
+        "doc_id int, text string",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # rule passes at n=8 -> no warning
+        res = run_documents(
+            spark, docs, "doc_id", "text", DedupConfig(),
+            channels=("simhash",),
+        )
+    ent = res.stats["probe_key_entropy"]
+    assert ent["ok"] and ent["key_bits"] == 40.0
