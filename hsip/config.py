@@ -44,9 +44,10 @@ class DedupConfig:
     # the lever that bounds random candidate collisions at extreme doc
     # counts (keep it >= ~log2(n_docs) + margin; at B=8, d=3, 64 bits
     # the 40-bit keys measurably birthday-collide by ~135k concentrated-
-    # bit docs — BENCH/BASELINE.md round-5 work counters). A 128-bit
-    # width (80-bit keys) is the documented 10^9+-distinct-docs config;
-    # validated here so requesting it fails loudly, not silently at 64.
+    # bit docs — BENCH/BASELINE.md round-5 work counters). The 128-bit
+    # width (80-bit keys at B=8,d=3) is the 10^9+-distinct-docs config,
+    # implemented as a two-lane array<bigint> fingerprint (simhash.py);
+    # the pipeline's probe_key_entropy advisory says when to switch.
     simhash_bits: int = 64
     hamming_d: int = 3              # candidates within Hamming distance d
     # B blocks -> C(B, B-d) probe tables with (B-d)*64/B-bit keys
@@ -149,15 +150,27 @@ class DedupConfig:
         return self.min_substr_len - self.winnow_window + 1
 
     def __post_init__(self):
-        if self.simhash_bits != 64:
+        if self.simhash_bits not in (64, 128):
             raise ValueError(
-                "simhash_bits: only the 64-bit fingerprint is implemented "
-                "(one-long bit-vote kernel + bit_count(xor) verify); see "
-                "the field comment for the key-entropy sizing rule this "
-                "knob is reserved for"
+                "simhash_bits: 64 (one-long kernel) and 128 (two-lane "
+                "array<bigint> kernel — the 10^9+-distinct-docs config, "
+                "80-bit probe keys at B=8,d=3) are implemented; see the "
+                "field comment for the key-entropy sizing rule"
             )
         if self.hamming_blocks <= self.hamming_d:
             raise ValueError("hamming_blocks must exceed hamming_d")
+        if self.simhash_bits % self.hamming_blocks != 0:
+            raise ValueError(
+                "hamming_blocks must divide simhash_bits (per-block bit "
+                "slices must be uniform)"
+            )
+        width = self.simhash_bits // self.hamming_blocks
+        if width >= 64 or 64 % width != 0:
+            raise ValueError(
+                f"block width {width} unsupported: blocks are extracted "
+                "lane-locally (shiftright on one 64-bit lane), so the "
+                "width must divide 64 and be < 64"
+            )
 
     _NON_SEMANTIC = frozenset({"cc_checkpoint_dir", "eager_barrier_min_docs"})
 

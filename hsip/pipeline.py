@@ -348,7 +348,12 @@ def run_documents(
                 F.lit("minhash_lsh").alias("channel"), "id",
                 F.col("band_id").alias("bkt_id"),
                 F.col("band_hash").alias("bkt_hash"),
-                F.lit(None).cast("long").alias("simhash"),
+                # null payload typed to the fingerprint layout (config.py
+                # simhash_bits: long at 64, array<bigint> lanes at 128)
+                # so the channel union stays type-compatible
+                F.lit(None)
+                .cast("long" if cfg.simhash_bits == 64 else "array<bigint>")
+                .alias("simhash"),
             )
             # simhash payload (8 B/row on the sh rows, null on mh rows)
             # rides through the pair expansion so Hamming verification is

@@ -82,28 +82,58 @@ def _simhash_batch(arrs: pd.Series) -> pd.Series:
 
 
 def attach_simhash(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> DataFrame:
-    """(id, text) -> (id, simhash: long)."""
-    seed = cfg.seed
-    token_hashes = F.transform(
-        tokens_col(norm_text_col(text_col, cfg)),
-        lambda t: F.xxhash64(t, F.lit(seed)),
-    )
+    """(id, text) -> (id, simhash).
 
-    @pandas_udf(T.LongType())
-    def simhash64(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for arrs in it:
-            yield _simhash_batch(arrs)
+    64-bit config: ``simhash: long`` (unchanged layout). 128-bit config
+    (the 10^9+-distinct-docs key-entropy remedy — config.py): ``simhash:
+    array<bigint>`` of ``simhash_bits/64`` lanes, where lane ``l`` is the
+    64-bit bit-vote over independently-seeded token hashes
+    ``xxhash64(token, seed + l)`` — lane 0 is bit-identical to the 64-bit
+    fingerprint, so widening never changes the low lane's semantics.
+    """
+    seed = cfg.seed
+    toks = tokens_col(norm_text_col(text_col, cfg))
+    lanes = cfg.simhash_bits // 64
+    if lanes == 1:
+        token_hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+
+        @pandas_udf(T.LongType())
+        def simhash64(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for arrs in it:
+                yield _simhash_batch(arrs)
+
+        return df.select(
+            F.col(id_col).cast("string").alias("id"),
+            simhash64(token_hashes).alias("simhash"),
+        )
+
+    assert lanes == 2  # config validates simhash_bits in (64, 128)
+
+    def _lane_hash(lane_seed: int):
+        # single-param lambda: a 2-param one would receive F.transform's
+        # (element, index) calling convention and hash the array INDEX
+        return F.transform(toks, lambda t: F.xxhash64(t, F.lit(lane_seed)))
+
+    lane_hashes = [_lane_hash(seed + l) for l in range(lanes)]
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def simhash_lanes(c0: pd.Series, c1: pd.Series) -> pd.Series:
+        stacked = np.stack(
+            [_simhash_batch(c).to_numpy() for c in (c0, c1)], axis=1
+        ).astype(np.int64)
+        return pd.Series(list(stacked))
 
     return df.select(
         F.col(id_col).cast("string").alias("id"),
-        simhash64(token_hashes).alias("simhash"),
+        simhash_lanes(*lane_hashes).alias("simhash"),
     )
 
 
 def hamming_block_table(simhash_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(id, simhash) -> (id, table_id, key_hash): multi-table block probing.
 
-    Generalized Manku'07 §3: split 64 bits into B blocks; any <= d bit
+    Generalized Manku'07 §3: split the simhash_bits (64 or 128 — blocks
+    are extracted lane-locally, validated in config) into B blocks; any <= d bit
     errors leave >= B-d blocks intact, so enumerating every C(B, B-d)
     block combination as a table key guarantees that two fingerprints
     within Hamming distance d share at least one table key (pigeonhole).
@@ -123,12 +153,20 @@ def hamming_block_table(simhash_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     B, d = cfg.hamming_blocks, cfg.hamming_d
     k = B - d
     assert k >= 1, "hamming_blocks must exceed hamming_d"
-    width = 64 // B
+    bits = cfg.simhash_bits
+    width = bits // B  # config validates: divides 64, < 64 -> lane-local
     mask = (1 << width) - 1
-    blocks = [
-        F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
-        for i in range(B)
-    ]
+    lanes = bits // 64
+
+    def _block(i: int):
+        pos = i * width
+        src = (
+            F.col("simhash") if lanes == 1
+            else F.element_at(F.col("simhash"), pos // 64 + 1)
+        )
+        return F.shiftright(src, pos % 64).bitwiseAND(F.lit(mask))
+
+    blocks = [_block(i) for i in range(B)]
     keys = F.array(
         *[
             F.xxhash64(F.lit(ci), *[blocks[b] for b in combo])

@@ -41,14 +41,21 @@ _BINV = np.uint64(pow(1000003, -1, 1 << 64))
 _MIX1 = np.uint64(0xFF51AFD7ED558CCD)
 _MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
 
-FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.StringType(), False),
-        T.StructField("shingles", T.ArrayType(T.LongType()), False),
-        T.StructField("sig", T.ArrayType(T.LongType()), False),
-        T.StructField("simhash", T.LongType(), False),
-    ]
-)
+def _features_schema(simhash_bits: int) -> T.StructType:
+    """simhash is one long at 64 bits, array<bigint> lanes at 128
+    (matching attach_simhash's layouts — verify dispatches on dtype)."""
+    sim_t = T.LongType() if simhash_bits == 64 else T.ArrayType(T.LongType())
+    return T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("shingles", T.ArrayType(T.LongType()), False),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+            T.StructField("simhash", sim_t, False),
+        ]
+    )
+
+
+FEATURES_SCHEMA = _features_schema(64)
 
 
 def _mix(h: np.ndarray, seed: np.uint64) -> np.ndarray:
@@ -116,6 +123,7 @@ def featurize(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> Da
     k, seed, num_perm, variant = cfg.shingle_k, cfg.seed, cfg.num_perm, cfg.minhash_variant
     lowercase, collapse, nfc = cfg.lowercase, cfg.collapse_ws, cfg.nfc
     strip_punct = cfg.strip_punct
+    sim_lanes = cfg.simhash_bits // 64
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = _coeffs(num_perm, seed)
@@ -143,7 +151,24 @@ def featurize(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> Da
                 sigs = _oph_batch(sh_series, num_perm, a[0], b[0])
             else:
                 sigs = _sig_batch(sh_series, a, b)
-            sims = _simhash_batch(pd.Series(tok_list))
+            if sim_lanes == 1:
+                sims = _simhash_batch(pd.Series(tok_list)).astype(np.int64)
+            else:
+                # lane l votes over remixed token hashes (lane 0 = the
+                # base hashes, matching the 64-bit output bit-for-bit);
+                # mirrors attach_simhash's per-lane independent seeding
+                lane_vals = []
+                for lane in range(sim_lanes):
+                    if lane == 0:
+                        tl = tok_list
+                    else:
+                        lseed = np.uint64((seed + 0x9E3779B9 * lane) & (2**64 - 1))
+                        tl = [
+                            _mix(t.view(np.uint64), lseed).view(np.int64)
+                            for t in tok_list
+                        ]
+                    lane_vals.append(_simhash_batch(pd.Series(tl)).to_numpy())
+                sims = list(np.stack(lane_vals, axis=1).astype(np.int64))
             # numpy arrays pass straight through Arrow list conversion —
             # never box 40M shingle hashes into Python ints
             yield pd.DataFrame(
@@ -151,10 +176,10 @@ def featurize(df: DataFrame, id_col: str, text_col: str, cfg: DedupConfig) -> Da
                     "id": pdf[id_col].astype(str),
                     "shingles": sh_list,
                     "sig": list(sigs),
-                    "simhash": sims.astype(np.int64),
+                    "simhash": sims,
                 }
             )
 
     return df.select(F.col(id_col).cast("string").alias(id_col), text_col).mapInPandas(
-        run, schema=FEATURES_SCHEMA
+        run, schema=_features_schema(cfg.simhash_bits)
     )

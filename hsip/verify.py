@@ -47,6 +47,23 @@ def hydrate(pairs: DataFrame, features: DataFrame, cols: list[str],
     return out
 
 
+def hamming_col(df: DataFrame) -> F.Column:
+    """Hamming distance between simhash_a/simhash_b for both fingerprint
+    layouts (config.py simhash_bits): ``bigint`` (64-bit — one
+    bit_count(xor)) and ``array<bigint>`` (multi-lane 128-bit — per-lane
+    bit_count(xor) summed via zip_with+aggregate). Both shapes are pure
+    built-in expressions; the verdict stays a projection either way."""
+    if dict(df.dtypes).get("simhash_a") == "bigint":
+        return F.bit_count(
+            F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+        ).cast("int")
+    return F.aggregate(
+        F.zip_with("simhash_a", "simhash_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+
+
 def jaccard_col() -> F.Column:
     inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
     union = F.size(F.array_union("shingles_a", "shingles_b"))
@@ -89,10 +106,7 @@ def verify_hamming(pairs: DataFrame, simhash_df: DataFrame, cfg: DedupConfig) ->
         pairs, simhash_df, ["simhash"]
     )
     return (
-        h.withColumn(
-            "hamming",
-            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("int"),
-        )
+        h.withColumn("hamming", hamming_col(h))
         .drop("simhash_a", "simhash_b")
         .withColumn("verdict", F.col("hamming") <= cfg.hamming_d)
     )
@@ -186,10 +200,7 @@ def verify_jaccard_hamming(pairs: DataFrame, features: DataFrame,
     sh = (
         sh_src
         .withColumn("jaccard", F.lit(None).cast("double"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("int"),
-        )
+        .withColumn("hamming", hamming_col(sh_src))
         .drop("simhash_a", "simhash_b")
         .withColumn("verdict", F.col("hamming") <= cfg.hamming_d)
     )
@@ -207,10 +218,7 @@ def _verify_jh_fused_small(pairs: DataFrame, features: DataFrame,
     h = hydrate(pairs, features, cols)
     is_mh = F.col("channel") == "minhash_lsh"
     jac = F.when(is_mh, jaccard_col())
-    ham = F.when(
-        ~is_mh,
-        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).cast("int"),
-    )
+    ham = F.when(~is_mh, hamming_col(h))
     return (
         h.withColumn("jaccard", jac)
         .withColumn("hamming", ham)

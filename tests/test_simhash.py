@@ -101,16 +101,22 @@ def test_empty_text_zero(spark):
     assert all(r.simhash == 0 for r in rows)
 
 
-def test_unimplemented_simhash_width_fails_loudly():
-    """simhash_bits is the reserved probe-key-entropy lever (config.py);
-    until a 128-bit kernel exists, requesting it must raise at config
-    construction, never silently run 64-bit."""
+def test_simhash_width_validation():
+    """simhash_bits is the probe-key-entropy lever (config.py): 64 and
+    128 are implemented kernels; anything else must raise at config
+    construction, never silently run 64-bit. Block geometry must stay
+    lane-local (width divides 64, < 64)."""
     import pytest
 
+    assert DedupConfig(simhash_bits=128).simhash_bits == 128
     with pytest.raises(ValueError, match="simhash_bits"):
-        DedupConfig(simhash_bits=128)
+        DedupConfig(simhash_bits=96)
     with pytest.raises(ValueError, match="hamming_blocks"):
         DedupConfig(hamming_blocks=2, hamming_d=3)
+    with pytest.raises(ValueError, match="divide simhash_bits"):
+        DedupConfig(simhash_bits=128, hamming_blocks=6, hamming_d=3)
+    with pytest.raises(ValueError, match="block width"):
+        DedupConfig(simhash_bits=128, hamming_blocks=2, hamming_d=1)
 
 
 def test_probe_key_entropy_rule():
