@@ -39,6 +39,11 @@ def parse_args(argv):
     p.add_argument("--lsh-rows", type=int, default=4)
     p.add_argument("--jaccard", type=float, default=0.7)
     p.add_argument("--min-substr-len", type=int, default=200)
+    p.add_argument("--simhash-bits", type=int, default=64,
+                   help="SimHash fingerprint width: 64 (long) or 128 "
+                        "(two array<bigint> lanes, 80-bit probe keys — "
+                        "use when the entropy advisory warns, i.e. "
+                        "10^9+ distinct docs; DEPLOYMENT.md 6b)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--master", default=None)
     p.add_argument("--checkpoint-dir", default=None,
@@ -73,6 +78,7 @@ def main(argv=None):
         lsh_rows=args.lsh_rows,
         jaccard_threshold=args.jaccard,
         min_substr_len=args.min_substr_len,
+        simhash_bits=args.simhash_bits,
         seed=args.seed,
         cc_checkpoint_dir=args.checkpoint_dir,
         rep_score_col=args.rep_score,

@@ -72,6 +72,11 @@ def test_spark_submit_pyfiles_local_cluster(spark, tmp_path):
         # AND its checkpointed stage (clusters are identical either way —
         # pinned by test_pipeline_e2e.py — so the assertions below hold)
         "--collapse-exact",
+        # and the wide-fingerprint CLI wiring: the 128-bit two-lane
+        # layout must survive the shipped-zip multi-process path too
+        # (semantics pinned by tests/test_simhash128.py; planted copies
+        # still cluster through the minhash/substr channels regardless)
+        "--simhash-bits", "128",
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=600, cwd=str(tmp_path)
