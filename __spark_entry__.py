@@ -714,6 +714,56 @@ def token_containment_pairs(spark, sf_dir):
     return pairs.filter(F.col("containment") >= 0.8)
 
 
+def token_weighted_jaccard_pairs(spark, sf_dir):
+    """Blocked MULTISET (tf-weighted) Jaccard — the quantity the ICWS
+    weighted-MinHash channel (hsip/wminhash.py) estimates: J_w =
+    sum min(c_a, c_b) / sum max(c_a, c_b) over token counts, computed
+    via the identity sum max = tot_a + tot_b - sum min so only shared
+    tokens join.
+
+    ORACLE-ONLY BASELINE like token_jaccard_pairs: exact within
+    (lang, source) blocks so DuckDB replicates it value-for-value. The
+    scale path is attach_weighted_minhash + the standard LSH banding —
+    candidate volume ~linear, this exact form never runs on a corpus."""
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", "source",
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "lang", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = tok.groupBy("doc_id").agg(F.sum("cnt").alias("tot"))
+    inter = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.least("a.cnt", "b.cnt")).alias("inter"))
+    )
+    out = (
+        inter.join(tot.alias("ta"), F.col("id_a") == F.col("ta.doc_id"))
+        .join(tot.alias("tb"), F.col("id_b") == F.col("tb.doc_id"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("ta.tot") + F.col("tb.tot") - F.col("inter")),
+                6,
+            ).alias("wjaccard"),
+        )
+    )
+    return out.filter(F.col("wjaccard") >= 0.4)
+
+
 def dataset_card(spark, sf_dir):
     """One-row corpus datasheet: the summary a training-data release
     ships (docs, tokens, language spread, exact-dup rate) — all
@@ -1546,6 +1596,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_verdict_docs": curation_verdict_docs,
         "token_jaccard_pairs": token_jaccard_pairs,
         "token_containment_pairs": token_containment_pairs,
+        "token_weighted_jaccard_pairs": token_weighted_jaccard_pairs,
         "dataset_card": dataset_card,
         "doc_stats": doc_stats,
         "lang_profile": lang_profile,
@@ -2095,6 +2146,32 @@ def oracle_sql() -> dict[str, str]:
                   ON a.lang = b.lang AND a.source = b.source
                  AND a.doc_id < b.doc_id
             ) WHERE jaccard >= 0.5
+        """,
+        "token_weighted_jaccard_pairs": f"""
+            WITH tok AS (
+                SELECT doc_id, lang, source, tok, count(*)::BIGINT AS cnt
+                FROM (
+                    SELECT doc_id, lang, source,
+                           unnest(string_split({norm_text}, ' ')) AS tok
+                    FROM documents
+                ) GROUP BY ALL
+            ), tot AS (
+                SELECT doc_id, sum(cnt)::BIGINT AS tot FROM tok GROUP BY doc_id
+            ), j AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       sum(least(a.cnt, b.cnt))::BIGINT AS inter
+                FROM tok a JOIN tok b
+                  ON a.lang = b.lang AND a.source = b.source
+                 AND a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT * FROM (
+                SELECT id_a, id_b,
+                       round(inter * 1.0 / (ta.tot + tb.tot - inter), 6)
+                           AS wjaccard
+                FROM j JOIN tot ta ON j.id_a = ta.doc_id
+                       JOIN tot tb ON j.id_b = tb.doc_id
+            ) WHERE wjaccard >= 0.4
         """,
         "token_containment_pairs": f"""
             WITH d AS (

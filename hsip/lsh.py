@@ -160,12 +160,16 @@ def pairs_from_buckets(
 
 
 def lsh_candidates(sig_df: DataFrame, cfg: DedupConfig,
-                   scratch: list | None = None) -> tuple[DataFrame, DataFrame]:
+                   scratch: list | None = None,
+                   channel: str = "minhash_lsh") -> tuple[DataFrame, DataFrame]:
     """(id, sig) -> (candidate pairs, hot-bucket stats).
 
     ``scratch``: optional list the internal band cache is appended to so
     the caller can ``unpersist()`` it once the pairs have materialized
     (VERDICT.md r3 item 5 — without it the cache lives until session end).
+    ``channel`` labels the pair rows — any signature with MinHash's
+    (id, sig array<long>) layout rides the same machinery (e.g. ICWS
+    weighted MinHash, hsip/wminhash.py, channel="wminhash").
     """
     bands = band_table(sig_df, cfg)
     # co-locate bucket members before the self-join; AQE coalesces after.
@@ -177,6 +181,66 @@ def lsh_candidates(sig_df: DataFrame, cfg: DedupConfig,
     if scratch is not None:
         scratch.append(bands)
     return pairs_from_buckets(
-        bands, cfg.bucket_cap, channel="minhash_lsh",
+        bands, cfg.bucket_cap, channel=channel,
         hot_policy=cfg.hot_bucket_policy, salt_seed=cfg.seed,
+    )
+
+
+def lsh_candidate_prob(s: float, bands: int, rows: int) -> float:
+    """The banding S-curve: Pr[candidate | Jaccard s] = 1 - (1 - s^r)^b."""
+    return 1.0 - (1.0 - s ** rows) ** bands
+
+
+def optimal_bands(
+    num_perm: int,
+    threshold: float,
+    fp_weight: float = 0.5,
+    max_rows: int = 32,
+) -> tuple[int, int]:
+    """Pick (bands, rows) for a target Jaccard threshold.
+
+    Minimizes the S-curve's total misclassification mass around the
+    threshold — ``fp_weight * ∫_0^t p(s) ds + (1-fp_weight) * ∫_t^1
+    (1-p(s)) ds`` with p the candidate probability above (the same
+    objective datasketch's MinHashLSH tunes; trapezoid over 256 points).
+    Search space: every (b, r) with r <= max_rows and b*r <= num_perm,
+    using as many of the budgeted permutations as the best (b, r) shape
+    allows. fp_weight > 0.5 biases toward fewer false candidates (cheaper
+    verify stage); < 0.5 toward recall.
+
+    The default pipeline config (32 bands x 4 rows at threshold ~0.42)
+    stays hand-picked for the contract corpus; this is the sizing tool
+    for OTHER thresholds — e.g. tuned_config(0.8) for strict near-dup.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    xs = [i / 256.0 for i in range(257)]
+    best, best_err = (1, 1), float("inf")
+    for rows in range(1, max_rows + 1):
+        bands = num_perm // rows
+        if bands < 1:
+            break
+        fp = fn = 0.0
+        for x0, x1 in zip(xs, xs[1:]):
+            mid = (x0 + x1) / 2.0
+            p = lsh_candidate_prob(mid, bands, rows)
+            if mid < threshold:
+                fp += p * (x1 - x0)
+            else:
+                fn += (1.0 - p) * (x1 - x0)
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if err < best_err:
+            best, best_err = (bands, rows), err
+    return best
+
+
+def tuned_config(threshold: float, num_perm: int = 128,
+                 fp_weight: float = 0.5, **overrides) -> DedupConfig:
+    """DedupConfig with (lsh_bands, lsh_rows) solved for ``threshold``
+    via optimal_bands; num_perm snaps to bands*rows so no permutation is
+    computed and never read. Other fields pass through ``overrides``."""
+    bands, rows = optimal_bands(num_perm, threshold, fp_weight)
+    return DedupConfig(
+        num_perm=bands * rows, lsh_bands=bands, lsh_rows=rows,
+        jaccard_threshold=threshold, **overrides,
     )
