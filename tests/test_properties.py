@@ -137,3 +137,27 @@ def test_strip_punct_is_unicode_aware_and_fused(spark):
     )
     sh = {r.id: tuple(r.shingles) for r in featurize(docs, "id", "text", cfg).collect()}
     assert sh["a"] == sh["b"], "fused kernel ignored strip_punct"
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(1, 2**61), st.integers(1, 9)),
+             min_size=0, max_size=30),
+    st.integers(0, 2**31 - 1),
+)
+def test_icws_signature_is_multiset_function(pairs, seed):
+    """ICWS signature depends only on the token MULTISET: any
+    permutation of the flat token-hash array (repeats = weights)
+    yields the identical signature."""
+    from hsip.wminhash import _icws_batch
+
+    rng = np.random.default_rng(7)
+    flat = np.repeat(
+        np.fromiter((t for t, _ in pairs), dtype=np.int64, count=len(pairs)),
+        np.fromiter((w for _, w in pairs), dtype=np.int64, count=len(pairs)),
+    )
+    shuffled = rng.permutation(flat)
+    sigs = np.stack(
+        _icws_batch(pd.Series([flat, shuffled]), 16, seed).to_numpy()
+    )
+    assert (sigs[0] == sigs[1]).all()

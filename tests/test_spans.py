@@ -74,3 +74,43 @@ def test_raw_text_column_untouched(spark):
     spans = spark.createDataFrame([(0, 0, 6)], "id long, start int, end int")
     r = remove_spans(got, "doc_id", "text", spans).collect()[0]
     assert r["text"] == "hello world" and r["text_clean"] == "world"
+
+
+def test_randomized_batch_vs_mask_oracle(spark):
+    """200 seeded random (text, spans) cases — spans may be negative,
+    past-end, empty, duplicated, nested, adjacent, or absent — through
+    ONE remove_spans job, each compared to the per-character mask
+    oracle. Catches island-merge and segment-boundary bugs example
+    tests don't reach."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    alphabet = "abcdefgh "
+    docs_rows, span_rows, want = [], [], {}
+    for i in range(200):
+        n = int(rng.integers(0, 60))
+        text = "".join(rng.choice(list(alphabet), size=n)) if n else ""
+        n_spans = int(rng.integers(0, 6))
+        spans = []
+        for _ in range(n_spans):
+            s = int(rng.integers(-5, max(n, 1) + 5))
+            e = s + int(rng.integers(-2, 15))
+            spans.append((s, e))
+            if rng.random() < 0.2:
+                spans.append((s, e))  # duplicate row
+        docs_rows.append((i, text))
+        span_rows.extend((i, s, e) for s, e in spans)
+        keep = [
+            c for j, c in enumerate(text)
+            if not any(max(s, 0) <= j < min(e, n) for s, e in spans)
+        ]
+        clean = "".join(keep)
+        want[i] = (clean, n - len(clean))
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    spans_df = spark.createDataFrame(
+        span_rows or [(0, 0, 0)], "id long, start int, end int"
+    )
+    out = remove_spans(docs, "doc_id", "text", spans_df)
+    got = {r["doc_id"]: (r["text_clean"], r["n_removed"]) for r in out.collect()}
+    assert got == want
