@@ -1405,6 +1405,35 @@ def substr_pairs(spark, sf_dir):
     )
 
 
+def decontam_substr_pairs(spark, sf_dir):
+    """Cross-corpus substring decontamination, oracle-checkable pair set
+    (suffixes.substr_decontaminate): documents split into a train corpus
+    (doc_id % 10 != 0) and an eval corpus (doc_id % 10 == 0); a train
+    doc is flagged iff it shares an exact >= L-char window of normalized
+    text with some eval doc. Caps off -> the winnowing guarantee makes
+    the channel exact at L, which DuckDB reproduces hash-free with the
+    same window-enumeration join as substr_pairs, restricted to
+    train x eval."""
+    from hsip.config import DedupConfig
+    from hsip.suffixes import substr_decontaminate
+
+    cfg = DedupConfig(
+        min_substr_len=120, winnow_window=30,
+        substr_bucket_cap=1_000_000, max_anchors_per_pair=1_000_000,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    evals = docs.filter(F.col("doc_id") % 10 == 0)
+    return (
+        substr_decontaminate(
+            train, "doc_id", "text", evals, "doc_id", "text", cfg,
+            eval_fp_cap=1_000_000,
+        )
+        .filter("verdict")
+        .select("train_id", "eval_id")
+    )
+
+
 def transcript_turn_equality_audit(spark, sf_dir):
     """C3 invariant (BASELINE.json:15), oracle-verified over SHARED data:
     per-turn byte-exact text equality under stable ordering. Dedupe the
@@ -1608,6 +1637,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_e2e_clusters": minhash_e2e_clusters,
         "dedup_collapse_clusters": dedup_collapse_clusters,
         "substr_pairs": substr_pairs,
+        "decontam_substr_pairs": decontam_substr_pairs,
         "doc_chunks": doc_chunks,
         "video_frame_samples": video_frame_samples,
         # embeddings / similarity search
@@ -2560,6 +2590,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT x.id AS a, y.id AS b
             FROM w x JOIN w y ON x.win = y.win AND x.id < y.id
+        """,
+        "decontam_substr_pairs": f"""
+            WITH n AS (
+                SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, {norm_text} AS t
+                FROM documents
+            ),
+            w AS (
+                SELECT DISTINCT doc_id, id, substr(t, i, 120) AS win
+                FROM (
+                    SELECT doc_id, id, t,
+                           unnest(range(1, greatest(length(t) - 119, 0) + 1)) AS i
+                    FROM n
+                )
+            )
+            SELECT DISTINCT x.id AS train_id, y.id AS eval_id
+            FROM w x JOIN w y ON x.win = y.win
+            WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0
         """,
         # exact max-common-substring oracle (gaps-and-islands over shared
         # L=120-char windows per alignment diagonal; see the query

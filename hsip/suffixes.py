@@ -731,3 +731,124 @@ def removal_spans_within_groups(
         .groupBy("_grp", "_sub")
         .applyInPandas(run, schema=out_schema)
     )
+
+
+def substr_cross_candidates(
+    fp_train: DataFrame,
+    fp_eval: DataFrame,
+    cfg: DedupConfig,
+    eval_fp_cap: int = 8,
+    broadcast_eval: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """A x B fingerprint pairing for DECONTAMINATION: candidates are
+    (train doc, eval doc) sharing a winnowed fingerprint — never a pair
+    within either corpus (so a 10^12-turn training set never self-joins
+    here; self-dedup is the substr channel's job).
+
+    Hot handling differs from the self-join on purpose: the TRAIN side
+    is never capped — a boilerplate fingerprint hitting 10^6 training
+    docs must flag all 10^6 (the output IS the flag set, so pair volume
+    is bounded by the answer size). The EVAL side caps at
+    ``eval_fp_cap`` deterministic min-id entries per fingerprint (a
+    train doc only needs ONE matching eval doc to be contaminated;
+    extra eval witnesses only add evidence). Capped fingerprints are
+    returned as stats — no silent caps.
+
+    ``broadcast_eval``: eval/benchmark sets are tiny next to a training
+    corpus, so broadcasting their fingerprint table turns the candidate
+    join into a map-side hash join — the training fingerprints are
+    scanned once and NEVER shuffled, the decontamination pass costs one
+    corpus scan plus verify on flagged pairs.
+    """
+    acap = cfg.max_anchors_per_pair
+    grouped = (
+        fp_eval.groupBy("fp_hash")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "pos"))).alias("es"))
+        .select(
+            "fp_hash",
+            F.size("es").alias("n_eval"),
+            F.explode(F.slice("es", 1, eval_fp_cap)).alias("e"),
+        )
+        .select("fp_hash", "n_eval", F.col("e.id").alias("b"),
+                F.col("e.pos").alias("pos_b"))
+    )
+    capped_stats = (
+        grouped.filter(F.col("n_eval") > eval_fp_cap)
+        .groupBy("fp_hash").agg(F.max("n_eval").alias("bucket_size"))
+    )
+    eval_side = grouped.drop("n_eval")
+    if broadcast_eval:
+        eval_side = F.broadcast(eval_side)
+    anchors = fp_train.join(eval_side, "fp_hash").select(
+        F.col("id").alias("a"), "b",
+        F.col("pos").alias("pos_a"), "pos_b",
+    )
+    pairs = (
+        anchors.groupBy("a", "b")
+        .agg(F.sort_array(F.collect_list(F.struct("pos_a", "pos_b"))).alias("anc"))
+        .select(
+            "a", "b",
+            F.size("anc").alias("n_anchors"),
+            F.transform(F.slice("anc", 1, acap), lambda x: x["pos_a"]).alias("pos_as"),
+            F.transform(F.slice("anc", 1, acap), lambda x: x["pos_b"]).alias("pos_bs"),
+        )
+        .withColumn("channel", F.lit("substr_cross"))
+    )
+    return pairs, capped_stats
+
+
+def substr_decontaminate(
+    train: DataFrame,
+    train_id: str,
+    train_text: str,
+    evals: DataFrame,
+    eval_id: str,
+    eval_text: str,
+    cfg: DedupConfig,
+    eval_fp_cap: int = 8,
+    broadcast_eval: bool = True,
+    scratch: list | None = None,
+) -> DataFrame:
+    """Cross-corpus substring decontamination (the Lee et al. ACL'22 /
+    GPT-3-appendix use-case): flag every training doc sharing an exact
+    >= min_substr_len-char span of normalized text with any eval/
+    benchmark doc. Output (train_id, eval_id, substr_len, verdict) —
+    verdict rows are the contaminated (train, eval) evidence pairs.
+
+    Reuses the channel machinery end-to-end: winnowed fingerprints on
+    both corpora (no false negatives >= L), A x B candidate join
+    (broadcast eval side), exact anchor-extension verification against
+    a prefix-disambiguated union of both corpora's texts ("T|"/"E|" ids
+    keep hydration single-table so verify_substr applies unchanged).
+    """
+    fpt = fingerprint_table(train, train_id, train_text, cfg)
+    fpe = fingerprint_table(evals, eval_id, eval_text, cfg)
+    pairs, _capped = substr_cross_candidates(
+        fpt, fpe, cfg, eval_fp_cap=eval_fp_cap, broadcast_eval=broadcast_eval
+    )
+    prefixed = pairs.withColumn("a", F.concat(F.lit("T|"), F.col("a"))) \
+                    .withColumn("b", F.concat(F.lit("E|"), F.col("b")))
+    docs_all = train.select(
+        F.concat(F.lit("T|"), F.col(train_id).cast("string")).alias("uid"),
+        F.col(train_text).alias("utext"),
+    ).unionByName(
+        evals.select(
+            F.concat(F.lit("E|"), F.col(eval_id).cast("string")).alias("uid"),
+            F.col(eval_text).alias("utext"),
+        )
+    )
+    own_scratch = scratch if scratch is not None else []
+    verified = verify_substr(prefixed, docs_all, "uid", "utext", cfg,
+                             scratch=own_scratch)
+    out = verified.select(
+        F.expr("substring(a, 3)").alias("train_id"),
+        F.expr("substring(b, 3)").alias("eval_id"),
+        "substr_len", "verdict",
+    )
+    if scratch is None:
+        # materialize before releasing the caches verify_substr holds
+        out = out.cache()
+        out.count()
+        for c in own_scratch:
+            c.unpersist()
+    return out
