@@ -1434,6 +1434,34 @@ def decontam_substr_pairs(spark, sf_dir):
     )
 
 
+def decontam_fuzzy_pairs(spark, sf_dir):
+    """Fuzzy cross-corpus decontamination, oracle-checkable
+    (incremental.minhash_decontaminate): train = doc_id % 10 != 0,
+    eval = doc_id % 10 == 0; flag train docs whose 5-gram shingle
+    Jaccard vs some eval doc clears 0.5. At the guaranteed-recall
+    config (rows=1: any shared signature cell -> candidate, miss prob
+    (1-J)^128 ~ 1e-39 at J >= 0.5) the channel is exhaustive and the
+    exact-Jaccard verify makes the output value-identical to DuckDB's
+    brute-force shingle-set Jaccard over the same split."""
+    from hsip.config import DedupConfig
+    from hsip.incremental import minhash_decontaminate
+
+    cfg = DedupConfig(num_perm=128, lsh_bands=128, lsh_rows=1,
+                      jaccard_threshold=0.5)
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    evals = docs.filter(F.col("doc_id") % 10 == 0)
+    return (
+        minhash_decontaminate(
+            train, "doc_id", "text", evals, "doc_id", "text", cfg,
+            eval_bucket_cap=1_000_000,
+        )
+        .filter("verdict")
+        .select("train_id", "eval_id",
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def transcript_turn_equality_audit(spark, sf_dir):
     """C3 invariant (BASELINE.json:15), oracle-verified over SHARED data:
     per-turn byte-exact text equality under stable ordering. Dedupe the
@@ -1638,6 +1666,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_collapse_clusters": dedup_collapse_clusters,
         "substr_pairs": substr_pairs,
         "decontam_substr_pairs": decontam_substr_pairs,
+        "decontam_fuzzy_pairs": decontam_fuzzy_pairs,
         "doc_chunks": doc_chunks,
         "video_frame_samples": video_frame_samples,
         # embeddings / similarity search
@@ -2607,6 +2636,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.id AS train_id, y.id AS eval_id
             FROM w x JOIN w y ON x.win = y.win
             WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0
+        """,
+        "decontam_fuzzy_pairs": f"""
+            WITH t AS (
+                SELECT doc_id, string_split({norm_text}, ' ') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, CAST(doc_id AS VARCHAR) AS id,
+                       CASE WHEN len(toks) >= 5 THEN list_distinct(
+                           list_transform(range(1, len(toks) - 3),
+                                          i -> array_to_string(toks[i:i+4], ' ')))
+                       ELSE [] END AS sh
+                FROM t
+            )
+            SELECT train_id, eval_id, round(j, 6) AS jaccard FROM (
+                SELECT a.id AS train_id, b.id AS eval_id,
+                       len(list_intersect(a.sh, b.sh)) * 1.0
+                           / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+                FROM s a JOIN s b
+                  ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+                WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+            ) WHERE j >= 0.5
         """,
         # exact max-common-substring oracle (gaps-and-islands over shared
         # L=120-char windows per alignment diagonal; see the query

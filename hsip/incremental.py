@@ -166,3 +166,72 @@ def incremental_verified_pairs(
         )
     )
     return V.verify_jaccard(pairs, all_shingles, cfg, scratch=scratch)
+
+
+def minhash_decontaminate(
+    train: DataFrame,
+    train_id: str,
+    train_text: str,
+    evals: DataFrame,
+    eval_id: str,
+    eval_text: str,
+    cfg: DedupConfig,
+    eval_bucket_cap: int = 8,
+    scratch: list | None = None,
+) -> DataFrame:
+    """FUZZY cross-corpus decontamination: flag training docs whose
+    shingle Jaccard against some eval/benchmark doc clears
+    cfg.jaccard_threshold — the near-duplicate complement to
+    suffixes.substr_decontaminate's exact-span flavor (a paraphrased or
+    lightly-edited benchmark leak has no long exact span but high
+    Jaccard).
+
+    The D x C shape of this module, specialized: candidates are ONLY
+    train x eval band-key matches — never train x train (self-dedup is
+    the pipeline's job) and never eval x eval. The eval band table is
+    tiny next to a training corpus, so it broadcasts: the train band
+    stream is scanned once and never shuffled for pairing. Per band
+    bucket the eval side caps at ``eval_bucket_cap`` deterministic
+    min-id witnesses (one witness proves contamination; the train side
+    is never capped — pair volume == answer size). Verification is
+    exact Jaccard over the union feature table with "T|"/"E|"
+    prefix-disambiguated ids, pair-pruned hydration.
+
+    Output: (train_id, eval_id, jaccard, verdict).
+    """
+    own_scratch = scratch if scratch is not None else []
+    feats_t = featurize(train, train_id, train_text, cfg).select(
+        F.concat(F.lit("T|"), F.col("id")).alias("id"), "shingles", "sig"
+    )
+    feats_e = featurize(evals, eval_id, eval_text, cfg).select(
+        F.concat(F.lit("E|"), F.col("id")).alias("id"), "shingles", "sig"
+    )
+    bands_t = band_table(feats_t.select("id", "sig"), cfg)
+    bands_e = (
+        band_table(feats_e.select("id", "sig"), cfg)
+        .groupBy(*_BKEYS)
+        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, eval_bucket_cap)
+             .alias("es"))
+        .select(*_BKEYS, F.explode("es").alias("b"))
+    )
+    pairs = (
+        bands_t.join(F.broadcast(bands_e), list(_BKEYS))
+        .select(F.col("id").alias("a"), "b")
+        .dropDuplicates(["a", "b"])
+        .withColumn("channel", F.lit("minhash_decontam"))
+    )
+    feats_all = feats_t.select("id", "shingles").unionByName(
+        feats_e.select("id", "shingles")
+    )
+    verified = V.verify_jaccard(pairs, feats_all, cfg, scratch=own_scratch)
+    out = verified.select(
+        F.expr("substring(a, 3)").alias("train_id"),
+        F.expr("substring(b, 3)").alias("eval_id"),
+        "jaccard", "verdict",
+    )
+    if scratch is None:
+        out = out.cache()
+        out.count()
+        for c in own_scratch:
+            c.unpersist()
+    return out
