@@ -131,3 +131,21 @@ def test_broadcast_toggle_same_answer(spark, corpora):
         for r in df.collect()
     )
     assert key(a) == key(b)
+
+
+def test_empty_eval_set_flags_nothing(spark, corpora):
+    train, evals, _ = corpora
+    empty = evals.filter("doc_id = 'nope'")
+    out = substr_decontaminate(
+        train, "doc_id", "text", empty, "doc_id", "text", _cfg()
+    )
+    assert out.count() == 0
+
+
+def test_empty_train_set_flags_nothing(spark, corpora):
+    train, evals, _ = corpora
+    empty = train.filter("doc_id = 'nope'")
+    out = substr_decontaminate(
+        empty, "doc_id", "text", evals, "doc_id", "text", _cfg()
+    )
+    assert out.count() == 0

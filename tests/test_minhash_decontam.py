@@ -115,3 +115,15 @@ def test_eval_bucket_cap_keeps_train_recall(spark):
         eval_bucket_cap=2,
     ).filter("verdict")
     assert {r["train_id"] for r in out.collect()} == {"t0", "t1", "t2"}
+
+
+def test_empty_corpora_flag_nothing(spark, corpora):
+    train, evals, _, _ = corpora
+    none_e = evals.filter("doc_id = 'nope'")
+    none_t = train.filter("doc_id = 'nope'")
+    assert minhash_decontaminate(
+        train, "doc_id", "text", none_e, "doc_id", "text", _cfg(0.5)
+    ).count() == 0
+    assert minhash_decontaminate(
+        none_t, "doc_id", "text", evals, "doc_id", "text", _cfg(0.5)
+    ).count() == 0
