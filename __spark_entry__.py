@@ -1120,6 +1120,62 @@ def paragraph_dup_stats(spark, sf_dir):
     )
 
 
+def paragraph_dedup_docs(spark, sf_dir):
+    """Corpus-wide repeated-paragraph REMOVAL (the rewrite step on top
+    of paragraph_dup_stats' inventory — the RefinedWeb/CCNet cleanup
+    unit): same 10-token non-overlapping window grid; every window seen
+    twice+ corpus-wide keeps only its globally-first occurrence
+    (min (doc_id, para_idx)) and documents are rebuilt from survivors.
+    hsip/paragraphs.py plan: one md5-keyed narrow-row inventory shuffle
+    (window text never rides the hash exchange), an output-sized keeper
+    join, ONE doc-keyed rebuild shuffle with in-group sort_array."""
+    from hsip.chunking import chunk_docs
+    from hsip.normalize import tokens_col
+    from hsip.paragraphs import dedup_paragraphs, rebuild_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    paras = chunk_docs(
+        docs, "doc_id", tokens_col(_norm(F.col("text"))), chunk_size=10, overlap=0
+    ).select(
+        "id",
+        F.col("chunk_idx").alias("para_idx"),
+        F.col("chunk_text").alias("para"),
+    )
+    kept = dedup_paragraphs(paras)
+    return rebuild_docs(kept, delim=" ").select(
+        F.col("id").alias("doc_id"), "clean_text", "n_paras"
+    )
+
+
+def boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate mining: top-20 word trigrams by DOCUMENT frequency
+    (each doc votes once per distinct gram — array_distinct applied
+    before the exchange). Deterministic total order (doc_freq DESC,
+    gram ASC) so the top-k set is engine-independent; plans as
+    TakeOrderedAndProject."""
+    from hsip.normalize import tokens_col
+    from hsip.paragraphs import frequent_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return frequent_ngrams(
+        docs, "doc_id", tokens_col(_norm(F.col("text"))), n=3, top_k=20
+    )
+
+
+def doc_lm_scores(spark, sf_dir):
+    """CCNet-style LM quality proxy: add-one-smoothed bigram LM fit on
+    the corpus itself, each doc scored by mean bigram negative
+    log-likelihood (hsip/paragraphs.py — pure SQL, count-table joins,
+    no Python)."""
+    from hsip.normalize import tokens_col
+    from hsip.paragraphs import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", tokens_col(_norm(F.col("text")))).select(
+        F.col("id").alias("doc_id"), "n_bigrams", "mean_nll"
+    )
+
+
 def orders_priority_quartiles(spark, sf_dir):
     """ntile(4) quartile cuts within each order-priority partition (Q12
     window-ranking family, the one ranking fn rollup/rank/lag didn't
@@ -1579,6 +1635,37 @@ def transcript_dedup_clusters(spark, sf_dir):
     return res.clusters
 
 
+def dedup_tiered_clusters(spark, sf_dir):
+    """Tiered dedup (hsip/cc.py tiered_clusters): candidate generation +
+    exact-Jaccard verification run ONCE at the guaranteed-recall config
+    (r=1 bands over 256 coordinates catch J>=0.5 with prob
+    1-(1-0.5)^256 ~ 1; caps off), then cluster labels are derived at
+    three aggressiveness tiers (J>=0.5 / 0.7 / 0.9) from the same cached
+    scored-pair table. DuckDB reproduces each tier with brute-force
+    Jaccard + a recursive-CTE closure — three independent closures, one
+    per tier, joined on id."""
+    from hsip.cc import tiered_clusters
+    from hsip.config import DedupConfig
+    from hsip.pipeline import run_documents
+
+    cfg = DedupConfig(
+        num_perm=256, lsh_bands=256, lsh_rows=1,
+        jaccard_threshold=0.5, bucket_cap=1_000_000,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    res = run_documents(
+        spark, docs, "doc_id", "text", cfg, channels=("minhash_lsh",)
+    )
+    scored = res.verified.filter("verdict")
+    out = tiered_clusters(
+        docs.select(F.col("doc_id").cast("string").alias("id")),
+        scored, thresholds=(0.5, 0.7, 0.9),
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "cluster_t50", "cluster_t70", "cluster_t90"
+    )
+
+
 def approx_distinct_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -1663,6 +1750,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_signals": doc_repetition_signals,
         "decontam_flagged_docs": decontam_flagged_docs,
         "minhash_e2e_clusters": minhash_e2e_clusters,
+        "dedup_tiered_clusters": dedup_tiered_clusters,
         "dedup_collapse_clusters": dedup_collapse_clusters,
         "substr_pairs": substr_pairs,
         "decontam_substr_pairs": decontam_substr_pairs,
@@ -1680,6 +1768,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_weighted_doclen": lang_weighted_doclen,
         "doc_length_percentiles": doc_length_percentiles,
         "paragraph_dup_stats": paragraph_dup_stats,
+        "paragraph_dedup_docs": paragraph_dedup_docs,
+        "boilerplate_ngrams": boilerplate_ngrams,
+        "doc_lm_scores": doc_lm_scores,
         "orders_priority_quartiles": orders_priority_quartiles,
         "orders_grouping_sets": orders_grouping_sets,
         # rows-only
@@ -2026,6 +2117,97 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT id) AS INT) AS n_docs
             FROM paras GROUP BY para_md5
             HAVING count(*) >= 2
+        """,
+        # same 10-token grid; keeper = globally-first occurrence
+        "paragraph_dedup_docs": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split({_NORM_SQL.format(c='text')}, ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) = 0 THEN 0
+                            WHEN len(toks) <= 10 THEN 1
+                            ELSE CAST(ceil(len(toks) / 10.0) AS INT)
+                       END AS nc
+                FROM t
+            ),
+            e AS (
+                SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_idx
+                FROM n
+            ),
+            paras AS (
+                SELECT doc_id AS id, chunk_idx AS para_idx,
+                       array_to_string(
+                           toks[chunk_idx * 10 + 1 : chunk_idx * 10 + 10], ' '
+                       ) AS para
+                FROM e
+            ),
+            k AS (
+                SELECT id, para_idx, para,
+                       row_number() OVER (
+                           PARTITION BY para ORDER BY id, para_idx
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY para) AS n_copies
+                FROM paras
+            )
+            SELECT id AS doc_id,
+                   string_agg(para, ' ' ORDER BY para_idx) AS clean_text,
+                   CAST(count(*) AS INT) AS n_paras
+            FROM k WHERE n_copies < 2 OR rn = 1
+            GROUP BY id
+        """,
+        "boilerplate_ngrams": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split({_NORM_SQL.format(c='text')}, ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            g0 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(toks) - 1),
+                           i -> array_to_string(toks[i : i + 2], ' ')
+                       )) AS gram
+                FROM t WHERE len(toks) >= 3
+            ),
+            g AS (SELECT DISTINCT doc_id, gram FROM g0)
+            SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+            FROM g GROUP BY gram
+            ORDER BY doc_freq DESC, gram ASC
+            LIMIT 20
+        """,
+        "doc_lm_scores": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split({_NORM_SQL.format(c='text')}, ' '),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            u AS (SELECT unnest(toks) AS w1 FROM t),
+            c1 AS (SELECT w1, count(*) AS c1 FROM u GROUP BY w1),
+            v AS (SELECT count(*) AS v FROM c1),
+            b AS (
+                SELECT doc_id,
+                       unnest(toks[1 : len(toks) - 1]) AS w1,
+                       unnest(list_transform(
+                           range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i + 1]
+                       )) AS bg
+                FROM t WHERE len(toks) >= 2
+            ),
+            c12 AS (SELECT bg, count(*) AS c12 FROM b GROUP BY bg),
+            s AS (
+                SELECT b.doc_id,
+                       -ln((c12.c12 + 1) / CAST(c1.c1 + v.v AS DOUBLE)) AS nll
+                FROM b JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN v
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(nll), 6) AS mean_nll
+            FROM s GROUP BY doc_id
         """,
         "dedup_exact_clusters": f"""
             SELECT doc_id,
@@ -2543,6 +2725,74 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
             )
             SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        # three independent reachability closures, one per Jaccard tier
+        "dedup_tiered_clusters": f"""
+            WITH RECURSIVE t AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       {norm_text} AS nt
+                FROM documents
+            ),
+            tok AS (
+                SELECT id, nt,
+                       list_filter(string_split(nt, ' '), x -> x <> '') AS toks
+                FROM t
+            ),
+            sh AS (
+                SELECT id,
+                       CASE
+                           WHEN nt = '' THEN []::VARCHAR[]
+                           WHEN len(toks) >= 5 THEN list_distinct(
+                               list_transform(
+                                   range(1, len(toks) - 3),
+                                   i -> array_to_string(toks[i:i+4], ' ')
+                               ))
+                           ELSE [nt]
+                       END AS s
+                FROM tok
+            ),
+            pairs AS (
+                SELECT a.id AS ia, b.id AS ib,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.id < b.id
+                WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+            ),
+            e50 AS (
+                SELECT ia AS src, ib AS dst FROM pairs WHERE j >= 0.5
+                UNION ALL
+                SELECT ib AS src, ia AS dst FROM pairs WHERE j >= 0.5
+            ),
+            e70 AS (
+                SELECT ia AS src, ib AS dst FROM pairs WHERE j >= 0.7
+                UNION ALL
+                SELECT ib AS src, ia AS dst FROM pairs WHERE j >= 0.7
+            ),
+            e90 AS (
+                SELECT ia AS src, ib AS dst FROM pairs WHERE j >= 0.9
+                UNION ALL
+                SELECT ib AS src, ia AS dst FROM pairs WHERE j >= 0.9
+            ),
+            r50(id, r) AS (
+                SELECT id, id FROM t
+                UNION
+                SELECT r50.id, e.dst FROM r50 JOIN e50 e ON e.src = r50.r
+            ),
+            r70(id, r) AS (
+                SELECT id, id FROM t
+                UNION
+                SELECT r70.id, e.dst FROM r70 JOIN e70 e ON e.src = r70.r
+            ),
+            r90(id, r) AS (
+                SELECT id, id FROM t
+                UNION
+                SELECT r90.id, e.dst FROM r90 JOIN e90 e ON e.src = r90.r
+            ),
+            c50 AS (SELECT id, min(r) AS cluster_t50 FROM r50 GROUP BY id),
+            c70 AS (SELECT id, min(r) AS cluster_t70 FROM r70 GROUP BY id),
+            c90 AS (SELECT id, min(r) AS cluster_t90 FROM r90 GROUP BY id)
+            SELECT c50.id AS doc_id, cluster_t50, cluster_t70, cluster_t90
+            FROM c50 JOIN c70 ON c50.id = c70.id JOIN c90 ON c50.id = c90.id
         """,
         # collapse_exact mode over planted byte-identical copies: the SAME
         # Jaccard>=0.7 reachability closure as minhash_e2e_clusters — the

@@ -278,3 +278,48 @@ def quality_representatives(
             "cluster_size",
         )
     )
+
+
+def tiered_clusters(
+    all_ids: DataFrame,
+    scored_pairs: DataFrame,
+    thresholds: tuple[float, ...] = (0.5, 0.7, 0.9),
+    id_col: str = "id",
+    score_col: str = "jaccard",
+    checkpoint_dir: str | None = None,
+    local_max_edges: int = 1_000_000,
+) -> DataFrame:
+    """Multi-threshold ("tiered") duplicate clustering: ONE scored pair
+    table -> a cluster label per aggressiveness tier, one row per id
+    with columns ``cluster_t{int(t*100)}``. The curation pattern behind
+    tiered dedup releases: publish a single dedup artifact and let each
+    training run pick conservative (high threshold — only near-identical
+    text merged) or aggressive (low threshold) dedup at read time,
+    without re-running candidate generation.
+
+    Scale shape: candidate generation and verification are paid ONCE
+    (the caller's pipeline); each tier is a filter over the cached
+    scored pairs followed by a CC run on a NESTED, strictly shrinking
+    edge set (t_hi edges are a subset of t_lo edges). Per-tier labels
+    join back on the id key — k tiers = k narrow (id, label) joins, no
+    text movement anywhere. Labels keep the min-id convention, so a
+    tier's labels are independently stable under partitioning.
+    """
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    ids = all_ids.select(F.col(id_col).alias("id")).distinct()
+    pairs = scored_pairs.select("a", "b", score_col).cache()
+    out = ids
+    try:
+        for t in sorted(thresholds):
+            e = pairs.filter(F.col(score_col) >= float(t)).select("a", "b")
+            lab = assign_clusters(
+                ids, e, checkpoint_dir=checkpoint_dir,
+                local_max_edges=local_max_edges,
+            )
+            col = f"cluster_t{int(round(t * 100)):02d}"
+            out = out.join(lab.withColumnRenamed("cluster_id", col), "id")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
+    return out
