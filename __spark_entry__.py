@@ -1666,6 +1666,47 @@ def dedup_tiered_clusters(spark, sf_dir):
     )
 
 
+def tiered_dedup_impact(spark, sf_dir):
+    """Per-tier dedup impact report over the tiered labels — the number
+    the curation meeting actually asks for: at each aggressiveness tier,
+    how many clusters exist, how many docs would be removed keeping one
+    representative per cluster, and the largest cluster (hot-boilerplate
+    sentinel). Plan: the tiered label table (one row per doc, k label
+    columns) is unpivoted with stack() — narrow, no text — then two
+    hash aggregations; at 100 TB the unpivot carries (doc_id, 3 labels)
+    only and both aggs combine map-side."""
+    from hsip.cc import tiered_clusters
+    from hsip.config import DedupConfig
+    from hsip.pipeline import run_documents
+
+    cfg = DedupConfig(
+        num_perm=256, lsh_bands=256, lsh_rows=1,
+        jaccard_threshold=0.5, bucket_cap=1_000_000,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    res = run_documents(
+        spark, docs, "doc_id", "text", cfg, channels=("minhash_lsh",)
+    )
+    scored = res.verified.filter("verdict")
+    tiers = tiered_clusters(
+        docs.select(F.col("doc_id").cast("string").alias("id")),
+        scored, thresholds=(0.5, 0.7, 0.9),
+    )
+    lab = tiers.select(
+        F.expr(
+            "stack(3, 't50', cluster_t50, 't70', cluster_t70,"
+            " 't90', cluster_t90) AS (tier, cid)"
+        )
+    )
+    per = lab.groupBy("tier", "cid").agg(F.count("*").alias("sz"))
+    return per.groupBy("tier").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        (F.sum("sz") - F.count("*")).cast("long").alias("docs_removed"),
+        F.max("sz").cast("long").alias("largest_cluster"),
+    )
+
+
 def approx_distinct_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -1751,6 +1792,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_flagged_docs": decontam_flagged_docs,
         "minhash_e2e_clusters": minhash_e2e_clusters,
         "dedup_tiered_clusters": dedup_tiered_clusters,
+        "tiered_dedup_impact": tiered_dedup_impact,
         "dedup_collapse_clusters": dedup_collapse_clusters,
         "substr_pairs": substr_pairs,
         "decontam_substr_pairs": decontam_substr_pairs,
@@ -1813,6 +1855,73 @@ def oracle_sql() -> dict[str, str]:
         "documents", "doc_id", "text", seq_len=1024, n_shards=4, salt="exp1"
     )
     curation_sql = curation_oracle_sql("documents", "doc_id", "text")
+    # shared by dedup_tiered_clusters / tiered_dedup_impact: brute-force
+    # Jaccard pairs + three reachability closures, one per tier
+    tiered_cte = f"""
+            WITH RECURSIVE t AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       {norm_text} AS nt
+                FROM documents
+            ),
+            tok AS (
+                SELECT id, nt,
+                       list_filter(string_split(nt, ' '), x -> x <> '') AS toks
+                FROM t
+            ),
+            sh AS (
+                SELECT id,
+                       CASE
+                           WHEN nt = '' THEN []::VARCHAR[]
+                           WHEN len(toks) >= 5 THEN list_distinct(
+                               list_transform(
+                                   range(1, len(toks) - 3),
+                                   i -> array_to_string(toks[i:i+4], ' ')
+                               ))
+                           ELSE [nt]
+                       END AS s
+                FROM tok
+            ),
+            pairs AS (
+                SELECT a.id AS ia, b.id AS ib,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.s, b.s))) AS j
+                FROM sh a JOIN sh b ON a.id < b.id
+                WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+            ),
+            e50 AS (
+                SELECT ia AS src, ib AS dst FROM pairs WHERE j >= 0.5
+                UNION ALL
+                SELECT ib AS src, ia AS dst FROM pairs WHERE j >= 0.5
+            ),
+            e70 AS (
+                SELECT ia AS src, ib AS dst FROM pairs WHERE j >= 0.7
+                UNION ALL
+                SELECT ib AS src, ia AS dst FROM pairs WHERE j >= 0.7
+            ),
+            e90 AS (
+                SELECT ia AS src, ib AS dst FROM pairs WHERE j >= 0.9
+                UNION ALL
+                SELECT ib AS src, ia AS dst FROM pairs WHERE j >= 0.9
+            ),
+            r50(id, r) AS (
+                SELECT id, id FROM t
+                UNION
+                SELECT r50.id, e.dst FROM r50 JOIN e50 e ON e.src = r50.r
+            ),
+            r70(id, r) AS (
+                SELECT id, id FROM t
+                UNION
+                SELECT r70.id, e.dst FROM r70 JOIN e70 e ON e.src = r70.r
+            ),
+            r90(id, r) AS (
+                SELECT id, id FROM t
+                UNION
+                SELECT r90.id, e.dst FROM r90 JOIN e90 e ON e.src = r90.r
+            ),
+            c50 AS (SELECT id, min(r) AS cluster_t50 FROM r50 GROUP BY id),
+            c70 AS (SELECT id, min(r) AS cluster_t70 FROM r70 GROUP BY id),
+            c90 AS (SELECT id, min(r) AS cluster_t90 FROM r90 GROUP BY id)
+    """
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2727,72 +2836,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
         """,
         # three independent reachability closures, one per Jaccard tier
-        "dedup_tiered_clusters": f"""
-            WITH RECURSIVE t AS (
-                SELECT CAST(doc_id AS VARCHAR) AS id,
-                       {norm_text} AS nt
-                FROM documents
-            ),
-            tok AS (
-                SELECT id, nt,
-                       list_filter(string_split(nt, ' '), x -> x <> '') AS toks
-                FROM t
-            ),
-            sh AS (
-                SELECT id,
-                       CASE
-                           WHEN nt = '' THEN []::VARCHAR[]
-                           WHEN len(toks) >= 5 THEN list_distinct(
-                               list_transform(
-                                   range(1, len(toks) - 3),
-                                   i -> array_to_string(toks[i:i+4], ' ')
-                               ))
-                           ELSE [nt]
-                       END AS s
-                FROM tok
-            ),
-            pairs AS (
-                SELECT a.id AS ia, b.id AS ib,
-                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                           / len(list_distinct(list_concat(a.s, b.s))) AS j
-                FROM sh a JOIN sh b ON a.id < b.id
-                WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
-            ),
-            e50 AS (
-                SELECT ia AS src, ib AS dst FROM pairs WHERE j >= 0.5
-                UNION ALL
-                SELECT ib AS src, ia AS dst FROM pairs WHERE j >= 0.5
-            ),
-            e70 AS (
-                SELECT ia AS src, ib AS dst FROM pairs WHERE j >= 0.7
-                UNION ALL
-                SELECT ib AS src, ia AS dst FROM pairs WHERE j >= 0.7
-            ),
-            e90 AS (
-                SELECT ia AS src, ib AS dst FROM pairs WHERE j >= 0.9
-                UNION ALL
-                SELECT ib AS src, ia AS dst FROM pairs WHERE j >= 0.9
-            ),
-            r50(id, r) AS (
-                SELECT id, id FROM t
-                UNION
-                SELECT r50.id, e.dst FROM r50 JOIN e50 e ON e.src = r50.r
-            ),
-            r70(id, r) AS (
-                SELECT id, id FROM t
-                UNION
-                SELECT r70.id, e.dst FROM r70 JOIN e70 e ON e.src = r70.r
-            ),
-            r90(id, r) AS (
-                SELECT id, id FROM t
-                UNION
-                SELECT r90.id, e.dst FROM r90 JOIN e90 e ON e.src = r90.r
-            ),
-            c50 AS (SELECT id, min(r) AS cluster_t50 FROM r50 GROUP BY id),
-            c70 AS (SELECT id, min(r) AS cluster_t70 FROM r70 GROUP BY id),
-            c90 AS (SELECT id, min(r) AS cluster_t90 FROM r90 GROUP BY id)
+        "dedup_tiered_clusters": f"""{tiered_cte}
             SELECT c50.id AS doc_id, cluster_t50, cluster_t70, cluster_t90
             FROM c50 JOIN c70 ON c50.id = c70.id JOIN c90 ON c50.id = c90.id
+        """,
+        # same closures, aggregated: per-tier dedup impact
+        "tiered_dedup_impact": f"""{tiered_cte},
+            lab AS (
+                SELECT 't50' AS tier, cluster_t50 AS cid FROM c50
+                UNION ALL
+                SELECT 't70' AS tier, cluster_t70 AS cid FROM c70
+                UNION ALL
+                SELECT 't90' AS tier, cluster_t90 AS cid FROM c90
+            ),
+            per AS (SELECT tier, cid, count(*) AS sz FROM lab GROUP BY tier, cid)
+            SELECT tier,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(sum(sz) AS BIGINT) AS n_docs,
+                   CAST(sum(sz) - count(*) AS BIGINT) AS docs_removed,
+                   CAST(max(sz) AS BIGINT) AS largest_cluster
+            FROM per GROUP BY tier
         """,
         # collapse_exact mode over planted byte-identical copies: the SAME
         # Jaccard>=0.7 reachability closure as minhash_e2e_clusters — the
