@@ -476,6 +476,27 @@ def dedup_exact_clusters(spark, sf_dir):
     )
 
 
+def dedup_doc_weights(spark, sf_dir):
+    """Soft dedup: instead of REMOVING duplicates, emit a per-doc
+    training weight 1/cluster_size so each distinct text contributes
+    unit total loss mass however many copies exist (the re-weighting
+    alternative to hard removal — keeps data volume for curriculum /
+    shard-balance reasons while neutralizing duplicate over-counting).
+    Same md5-keyed narrow exchange as dedup_exact_clusters; the weight
+    is a projection over the size column — no extra shuffle."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "h", F.md5(_norm(F.col("text")))
+    )
+    grp = docs.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    return docs.select("doc_id", "h").join(grp, "h").select(
+        "doc_id",
+        "n_copies",
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
+    )
+
+
 def dedup_quality_reps(spark, sf_dir):
     """Quality-aware canonical keeper per exact-dup cluster (RefinedWeb /
     CCNet policy: keep the BEST copy, not an arbitrary one). Members of
@@ -1769,6 +1790,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": events_sessionization,
         # documents / text analysis / dedup oracles
         "dedup_exact_clusters": dedup_exact_clusters,
+        "dedup_doc_weights": dedup_doc_weights,
         "dedup_quality_reps": dedup_quality_reps,
         "dedup_exact_pairs": dedup_exact_pairs,
         "fuzzy_part_name_pairs": fuzzy_part_name_pairs,
@@ -2322,6 +2344,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    min(doc_id) OVER (PARTITION BY norm) AS cluster_id,
                    CAST(count(*) OVER (PARTITION BY norm) AS BIGINT) AS cluster_size
+            FROM (SELECT doc_id, {norm_text} AS norm FROM documents)
+        """,
+        "dedup_doc_weights": f"""
+            SELECT doc_id,
+                   CAST(count(*) OVER (PARTITION BY norm) AS BIGINT) AS n_copies,
+                   round(1.0 / count(*) OVER (PARTITION BY norm), 6) AS weight
             FROM (SELECT doc_id, {norm_text} AS norm FROM documents)
         """,
         "dedup_exact_pairs": f"""
