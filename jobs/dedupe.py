@@ -55,6 +55,14 @@ def parse_args(argv):
                         "rejoin as verified exact edges (identical "
                         "clusters, candidate work scales with distinct "
                         "texts instead of copy counts)")
+    p.add_argument("--tiers", default=None,
+                   help="comma-separated Jaccard thresholds (e.g. "
+                        "0.5,0.7,0.9): also write out.<run_id>.tiered "
+                        "with one cluster label per tier, derived from "
+                        "the SAME verified pairs (candidates+verify paid "
+                        "once). Pairs verified by non-Jaccard channels "
+                        "(simhash/substr — already past their own fixed "
+                        "thresholds) count as edges at every tier")
     p.add_argument("--rep-score", default=None,
                    help="SQL expression over the reassembled docs frame "
                         "(e.g. 'length(doc_text)'); keeps the max-score "
@@ -102,6 +110,22 @@ def main(argv=None):
     cat.write(res.clusters, f"out.{res.run_id}.clusters")
     cat.write(res.verified, f"out.{res.run_id}.verified")
     cat.write(res.representatives, f"out.{res.run_id}.representatives")
+    if args.tiers:
+        from pyspark.sql import functions as F
+
+        from hsip.cc import tiered_clusters
+
+        thresholds = tuple(float(x) for x in args.tiers.split(","))
+        scored = res.verified.filter("verdict").select(
+            "a", "b",
+            F.coalesce(F.col("jaccard"), F.lit(1.0)).alias("score"),
+        )
+        tiered = tiered_clusters(
+            res.clusters.select("id"), scored,
+            thresholds=thresholds, score_col="score",
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        cat.write(tiered, f"out.{res.run_id}.tiered")
     n = res.clusters.count()
     n_cl = res.representatives.count()
     print(f"run_id={res.run_id} rows={n} clusters={n_cl} stats={res.stats}")

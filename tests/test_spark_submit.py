@@ -77,6 +77,8 @@ def test_spark_submit_pyfiles_local_cluster(spark, tmp_path):
         # (semantics pinned by tests/test_simhash128.py; planted copies
         # still cluster through the minhash/substr channels regardless)
         "--simhash-bits", "128",
+        # tiered output: one extra table from the SAME verified pairs
+        "--tiers", "0.5,0.9",
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=600, cwd=str(tmp_path)
@@ -98,3 +100,20 @@ def test_spark_submit_pyfiles_local_cluster(spark, tmp_path):
     assert 0 < n_reps <= n_convs
     # planted near-duplicates must actually cluster: fewer keepers than docs
     assert n_reps < n_convs
+
+    tiered = spark.read.parquet(
+        os.path.join(wh, "out", "smoke", "tiered", "data")
+    )
+    assert tiered.count() == n_convs
+    assert set(tiered.columns) == {"id", "cluster_t50", "cluster_t90"}
+    # nesting: the aggressive tier can only merge what the strict tier
+    # split — ids sharing a t90 label must share a t50 label
+    from pyspark.sql import functions as F
+
+    viol = (
+        tiered.groupBy("cluster_t90")
+        .agg(F.countDistinct("cluster_t50").alias("n50"))
+        .filter(F.col("n50") > 1)
+        .count()
+    )
+    assert viol == 0
