@@ -2381,7 +2381,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_part_name_pairs": """
             WITH names AS (
                 SELECT p_name AS name, count(*) AS n,
-                       regexp_extract(p_name, '[a-z]+$') AS blk
+                       regexp_extract(lower(p_name),
+                                      '([a-z0-9]+)[^a-z0-9]*$', 1) AS blk
                 FROM part GROUP BY p_name
             )
             SELECT a.name AS name_a, b.name AS name_b,

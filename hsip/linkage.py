@@ -32,14 +32,18 @@ def distinct_names(df: DataFrame, name_col: str,
     """(rows) -> (name, n, blk): one row per distinct name with its
     occurrence count and blocking key.
 
-    Default blocking key is the trailing word — the coarse "same entity
-    type" block for adjective-noun style names. Callers with domain
-    keys (soundex'd surname, zip prefix, brand) pass ``block_expr``,
-    written against the aggregated frame where the name column is
-    spelled ``name``.
+    Default blocking key is the trailing alphanumeric run of the
+    LOWERCASED name — the coarse "same entity type" block for
+    adjective-noun style names, robust to case, digits, and trailing
+    punctuation ('ACME CORP' -> 'corp', 'unit 7' -> '7', 'smith jr.'
+    -> 'jr'; a bare [a-z]+$ on the raw name would map all of those to
+    one shared '' mega-block). Callers with domain keys (soundex'd
+    surname, zip prefix, brand) pass ``block_expr``, written against
+    the aggregated frame where the name column is spelled ``name``.
     """
     if block_expr is None:
-        block_expr = F.regexp_extract(F.col("name"), "[a-z]+$", 0)
+        block_expr = F.regexp_extract(
+            F.lower(F.col("name")), "([a-z0-9]+)[^a-z0-9]*$", 1)
     return (
         df.groupBy(F.col(name_col).alias("name"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -62,7 +66,10 @@ def fuzzy_name_pairs(
     ``dist`` is exact Levenshtein (insert/delete/substitute, unit cost),
     evaluated ONLY within blocks — never all-pairs. The distinct-name
     table is cached (pairs_from_buckets scans it twice for skew-safe
-    bucket sizing) and handed to ``scratch`` for caller unpersist.
+    bucket sizing) and handed to ``scratch`` for caller unpersist; with
+    no ``scratch`` the result is materialized (cache + count) and the
+    internal cache released before returning, so repeated calls in a
+    long-lived session don't accumulate pinned storage.
     """
     names = distinct_names(df, name_col, block_expr)
     names = names.repartition("blk").cache()
@@ -77,7 +84,7 @@ def fuzzy_name_pairs(
         for row in hot_stats.collect():
             recorder.metric("linkage_block", str(row["blk"]),
                             float(row["bucket_size"]))
-    return (
+    out = (
         pairs.select(
             F.col("a").alias("name_a"), F.col("b").alias("name_b"),
             "n_a", "n_b",
@@ -85,3 +92,8 @@ def fuzzy_name_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+    if scratch is None:
+        out = out.cache()
+        out.count()
+        names.unpersist()
+    return out

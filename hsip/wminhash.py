@@ -213,7 +213,14 @@ def verify_weighted_jaccard(
     intersect join is keyed (id, tok) and its volume is bounded by the
     candidates' shared-token mass, never the corpus. ``tok_counts`` is
     pre-pruned to pair-touched ids by semi-joins (the verify.py r4
-    hydration discipline)."""
+    hydration discipline).
+
+    Token-less docs have NO tok_counts rows, so their totals are joined
+    left-outer and coalesced to 0: a pair of two empty docs (which the
+    sentinel signature makes collide in LSH precisely because they are
+    identical) verifies as wjaccard=1.0; empty-vs-nonempty as 0.0.
+    Inner joins here would silently drop those pairs from the verdict
+    table instead."""
     ids = (
         pairs.select(F.col("a").alias("id"))
         .unionByName(pairs.select(F.col("b").alias("id")))
@@ -230,16 +237,21 @@ def verify_weighted_jaccard(
         .groupBy("a", "b")
         .agg(F.sum(F.least("cnt_a", "cnt_b")).alias("inter"))
     )
+    uni = (
+        F.coalesce("tot_a", F.lit(0)) + F.coalesce("tot_b", F.lit(0))
+        - F.coalesce("inter", F.lit(0))
+    )
     return (
         pairs.join(inter, ["a", "b"], "left_outer")
-        .join(tots.select(F.col("id").alias("a"), F.col("tot").alias("tot_a")), "a")
-        .join(tots.select(F.col("id").alias("b"), F.col("tot").alias("tot_b")), "b")
+        .join(tots.select(F.col("id").alias("a"), F.col("tot").alias("tot_a")),
+              "a", "left_outer")
+        .join(tots.select(F.col("id").alias("b"), F.col("tot").alias("tot_b")),
+              "b", "left_outer")
         .select(
             "a", "b", "channel",
-            (
-                F.coalesce("inter", F.lit(0))
-                / (F.col("tot_a") + F.col("tot_b") - F.coalesce("inter", F.lit(0)))
-            ).alias("wjaccard"),
+            F.when(uni > 0, F.coalesce("inter", F.lit(0)) / uni)
+            .otherwise(F.lit(1.0))
+            .alias("wjaccard"),
         )
         .withColumn("verdict", F.col("wjaccard") >= F.lit(threshold))
     )

@@ -162,8 +162,9 @@ def main(argv=None):
     split_counts = {r["split"]: r["n"] for r in
                     corpus.groupBy("split").agg(F.count("*").alias("n")).collect()}
 
-    # ---- stage 5: pack the train split
-    train_name = next(iter(pct))
+    # ---- stage 5: pack the train split ("train" if the --splits list
+    # names one, else the first listed split — order carries no meaning)
+    train_name = "train" if "train" in pct else next(iter(pct))
     train_docs = passed.join(
         corpus.filter(F.col("split") == train_name).select("conv_id"),
         "conv_id", "left_semi")

@@ -87,8 +87,11 @@ def test_curate_job_funnel_and_decontam(spark, tmp_path, capsys):
         Row(eval_id="bench-1", text="unrelated benchmark prompt xyzzy " * 30),
     ]).write.parquet(evals_dir)
 
+    # run 2 also lists the splits out of order: stage 5 must still pack
+    # the split NAMED train, not whichever happens to be listed first
     f2 = _run(curate, capsys,
-              base_argv + ["--run-id", "r2", "--eval-input", evals_dir])
+              base_argv + ["--run-id", "r2", "--eval-input", evals_dir,
+                           "--splits", "val:5,train:90,test:5"])
 
     # dedup + quality stages are deterministic under identical input/config
     assert f2["n_after_dedup"] == f1["n_after_dedup"]
@@ -99,6 +102,12 @@ def test_curate_job_funnel_and_decontam(spark, tmp_path, capsys):
         f2["n_after_quality"] - f2["n_contaminated"])
     corpus2 = spark.read.parquet(os.path.join(wh, "out", "r2", "corpus", "data"))
     assert corpus2.filter(F.col("conv_id") == victim).count() == 0
+
+    # packing covers exactly the train split (not the first-listed val)
+    packing2 = spark.read.parquet(
+        os.path.join(wh, "out", "r2", "packing", "data"))
+    n_train2 = corpus2.filter(F.col("split") == "train").count()
+    assert packing2.count() == n_train2 > 0
 
     # evidence table names the victim against the planted eval doc
     evidence = spark.read.parquet(

@@ -111,3 +111,52 @@ def test_custom_block_expr(spark, rows):
     got = {(r["name_a"], r["name_b"]) for r in pairs.collect()}
     assert ("red bolt", "rod bolt") in got
     assert all(a[0] == b[0] for a, b in got)
+
+
+def test_default_block_survives_case_digits_punct(spark):
+    """The default blocking key lowercases and takes the trailing
+    alphanumeric run — names ending in uppercase, digits, or punctuation
+    must land in real blocks, not one shared '' mega-block."""
+    rows = spark.createDataFrame(
+        [("ACME CORP",), ("ACME C0RP",), ("unit 7",), ("unit 77",),
+         ("smith jr.",), ("smyth jr.",)], "p_name string")
+    blocks = {r["name"]: r["blk"]
+              for r in distinct_names(rows, "p_name").collect()}
+    assert blocks["ACME CORP"] == "corp"
+    assert blocks["unit 7"] == "7"
+    assert blocks["smith jr."] == "jr"
+    assert "" not in blocks.values()
+
+    got = {(r["name_a"], r["name_b"], r["dist"])
+           for r in fuzzy_name_pairs(rows, "p_name", max_dist=2).collect()}
+    assert ("smith jr.", "smyth jr.", 1) in got
+
+
+def test_no_scratch_releases_internal_cache(spark):
+    """fuzzy_name_pairs without a scratch list must not leak its
+    distinct-names cache for the life of the session: only the returned
+    (materialized) result may stay cached, and every cache id the call
+    created is gone once that result is unpersisted (unpersist is async,
+    so the check polls briefly). Uses a test-local frame so the plan
+    can't alias cache entries other tests in this module created."""
+    import time
+
+    def ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                   .toArray())
+
+    local = spark.createDataFrame(
+        [("green gear",), ("greon gear",), ("brass gear",), ("odd cog",)],
+        "p_name string")
+    before = ids()
+    out = fuzzy_name_pairs(local, "p_name", max_dist=2)
+    new = ids() - before
+    # the materialized result, plus possibly the internal names cache
+    # whose non-blocking unpersist hasn't landed yet
+    assert 1 <= len(new) <= 2
+    assert out.count() > 0
+    out.unpersist(True)
+    deadline = time.time() + 10
+    while time.time() < deadline and (new & ids()):
+        time.sleep(0.2)
+    assert not (new & ids())

@@ -194,3 +194,40 @@ def test_verify_wjaccard_values_exact(spark):
     # min-sum = a:1 + b:1 + c:1 = 3; max-sum = a:2 + b:2 + c:1 = 5
     assert abs(rows[0]["wjaccard"] - 0.6) < 1e-12
     assert rows[0]["verdict"]
+
+
+def test_empty_doc_pairs_get_verdict_rows(spark):
+    """Token-less docs have no token_count_table rows; the verify joins
+    must be left-outer so their pairs still get verdict rows: two empty
+    docs (identical multisets, sentinel-colliding in LSH) verify as
+    wjaccard=1.0/true, empty-vs-nonempty as 0.0/false. Inner joins here
+    silently dropped these pairs from the verdict table."""
+    from hsip.wminhash import (token_count_table, verify_weighted_jaccard,
+                               weighted_near_dup_pairs)
+
+    docs = spark.createDataFrame(
+        [("e1", ""), ("e2", "   "), ("x", "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    cfg = DedupConfig(num_perm=32, lsh_bands=32, lsh_rows=1,
+                      jaccard_threshold=0.5)
+
+    # end-to-end: the sentinel makes the two empty docs collide
+    got = {
+        (r["a"], r["b"]): (r["wjaccard"], r["verdict"])
+        for r in weighted_near_dup_pairs(docs, "doc_id", "text", cfg).collect()
+    }
+    assert got[("e1", "e2")] == (1.0, True)
+
+    # forced empty-vs-nonempty pair: a verdict row exists and is false
+    pairs = spark.createDataFrame(
+        [("e1", "x", "wminhash"), ("e1", "e2", "wminhash")],
+        ["a", "b", "channel"],
+    )
+    tok = token_count_table(docs, "doc_id", "text", cfg)
+    rows = {
+        (r["a"], r["b"]): (r["wjaccard"], r["verdict"])
+        for r in verify_weighted_jaccard(pairs, tok, 0.5).collect()
+    }
+    assert rows[("e1", "x")] == (0.0, False)
+    assert rows[("e1", "e2")] == (1.0, True)
