@@ -155,6 +155,15 @@ class Catalog:
         schemas natively (mergeSchema write option); the fallback
         records a manifest flag so read() scans with mergeSchema=true
         (absent columns null-fill — the standard evolution semantics)."""
+        if sort_by:
+            # range-cluster the data we are writing NOW, on both paths:
+            # Iceberg's ALTER ... WRITE ORDERED BY below only governs
+            # FUTURE writers — without this the initial snapshot (usually
+            # most of the table) would land unclustered with overlapping
+            # min/max stats and no file-skipping.
+            df = df.repartitionByRange(
+                self.spark.sparkContext.defaultParallelism, *sort_by
+            ).sortWithinPartitions(*sort_by)
         if self.iceberg_catalog:
             full = f"{self.iceberg_catalog}.{ident}"
             if mode == "append" and self.exists(ident):
@@ -180,10 +189,6 @@ class Catalog:
                         f"({', '.join(sort_by)})"
                     )
             return
-        if sort_by:
-            df = df.repartitionByRange(
-                self.spark.sparkContext.defaultParallelism, *sort_by
-            ).sortWithinPartitions(*sort_by)
         with self._lock(ident):
             self._write_parquet_locked(df, ident, mode, meta, partition_by,
                                        sort_by, evolve_schema)
@@ -372,7 +377,15 @@ class Catalog:
         merged = target.join(updates, key_cols, "left_anti").unionByName(
             updates
         )
-        self.write(merged, ident, mode="overwrite", meta=meta)
+        # the fallback merge is a full rewrite: carry the table's
+        # recorded layout (hive partitioning, range clustering) and —
+        # when the caller passes no new meta — its existing meta, so a
+        # merge never silently de-partitions or de-clusters the table
+        man = self.manifest(ident)
+        self.write(merged, ident, mode="overwrite",
+                   meta=meta if meta is not None else man.get("meta"),
+                   partition_by=man.get("partition_by"),
+                   sort_by=man.get("sort_by"))
 
     def compact(self, ident: str, target_files: int = 0) -> None:
         """Small-file compaction. Streaming appends and incremental
@@ -391,10 +404,18 @@ class Catalog:
             )
             return
         man = self.manifest(ident)
-        n = target_files or self.spark.sparkContext.defaultParallelism
-        df = self.read(ident).repartition(n)
+        sort_by = man.get("sort_by")
+        if sort_by:
+            # sort-clustered table: write() re-range-partitions on the
+            # sort keys (file count = defaultParallelism; target_files
+            # does not apply — a random repartition(n) here would
+            # destroy the clustering compaction is meant to preserve)
+            df = self.read(ident)
+        else:
+            n = target_files or self.spark.sparkContext.defaultParallelism
+            df = self.read(ident).repartition(n)
         self.write(df, ident, mode="overwrite", meta=man.get("meta"),
-                   partition_by=man.get("partition_by"))
+                   partition_by=man.get("partition_by"), sort_by=sort_by)
 
     def drop(self, ident: str) -> None:
         if self.iceberg_catalog:

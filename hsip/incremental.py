@@ -58,11 +58,11 @@ def incremental_candidates(
     after materializing results — same lifecycle contract as
     lsh_candidates/verify_substr.
     """
+    own_scratch = scratch if scratch is not None else []
     if new_bands is None:
         new_bands = band_table(new_feats.select("id", "sig"), cfg).cache()
         new_bands.count()  # pairs_from_buckets contract: cached input
-        if scratch is not None:
-            scratch.append(new_bands)
+        own_scratch.append(new_bands)
 
     # new x new within the delta: same capped expansion as the batch path
     nn, nn_hot = pairs_from_buckets(
@@ -77,8 +77,7 @@ def incremental_candidates(
     delta_keys = new_bands.select(*_BKEYS).distinct()
     idx_hit = index_bands.join(delta_keys, list(_BKEYS), "left_semi").cache()
     idx_hit.count()
-    if scratch is not None:
-        scratch.append(idx_hit)
+    own_scratch.append(idx_hit)
 
     sizes = idx_hit.groupBy(*_BKEYS).agg(F.count(F.lit(1)).alias("bsz"))
     tagged = idx_hit.join(sizes, list(_BKEYS))
@@ -126,6 +125,15 @@ def incremental_candidates(
         .dropDuplicates(["a", "b"])
         .withColumn("channel", F.lit("minhash_lsh"))
     )
+    if scratch is None:
+        # no caller-managed lifecycle: materialize the outputs, then
+        # release the internal caches (the wminhash/linkage convention)
+        pairs = pairs.cache()
+        pairs.count()
+        hot_stats = hot_stats.cache()
+        hot_stats.count()
+        for c in own_scratch:
+            c.unpersist()
     return pairs, hot_stats
 
 
@@ -145,13 +153,15 @@ def incremental_verified_pairs(
     candidates, verify exact Jaccard against the union feature table.
     Pass ``new_feats``/``new_bands`` when the caller already built them;
     ``recorder`` (hsip.metrics.Recorder) receives hot-bucket truncation
-    counts; ``scratch`` collects internal caches for caller unpersist."""
+    counts; ``scratch`` collects internal caches for caller unpersist —
+    with no ``scratch`` the result is materialized and every internal
+    cache released before returning."""
+    own_scratch = scratch if scratch is not None else []
     if new_feats is None:
         new_feats = featurize(new_docs, id_col, text_col, cfg).cache()
-        if scratch is not None:
-            scratch.append(new_feats)
+        own_scratch.append(new_feats)
     pairs, hot_stats = incremental_candidates(
-        new_feats, index_bands, cfg, new_bands=new_bands, scratch=scratch
+        new_feats, index_bands, cfg, new_bands=new_bands, scratch=own_scratch
     )
     if recorder is not None:
         recorder.metric(
@@ -165,7 +175,13 @@ def incremental_verified_pairs(
             new_feats.select("id"), "id", "left_anti"
         )
     )
-    return V.verify_jaccard(pairs, all_shingles, cfg, scratch=scratch)
+    out = V.verify_jaccard(pairs, all_shingles, cfg, scratch=own_scratch)
+    if scratch is None:
+        out = out.cache()
+        out.count()
+        for c in own_scratch:
+            c.unpersist()
+    return out
 
 
 def minhash_decontaminate(

@@ -121,10 +121,12 @@ def rhp_lsh_topk(emb: DataFrame, k: int, dim: int, n_bits: int = 64,
         .cache()
     )
     bands.count()
-    if scratch is not None:
-        # caller releases both once the top-k result has materialized
-        # (VERDICT.md r3 item 5)
-        scratch.extend([sigs, bands])
+    own_scratch = scratch if scratch is not None else []
+    # caller (or the scratch=None fallback below) releases both once the
+    # top-k result has materialized (VERDICT.md r3 item 5) — sigs holds
+    # the full vector column, so leaving it cached pins corpus-sized
+    # storage for the session
+    own_scratch.extend([sigs, bands])
     pairs, hot_stats = pairs_from_buckets(
         bands, bucket_cap, bucket_cols=("band_id", "band_key"),
         channel="rhp_lsh", hot_policy=hot_policy, salt_seed=seed,
@@ -142,11 +144,17 @@ def rhp_lsh_topk(emb: DataFrame, k: int, dim: int, n_bits: int = 64,
     ).join(vecs.select(F.col("id").alias("n_id"), F.col("v").alias("v")), "n_id")
     scored = hydrated.select("q_id", "n_id", _cosine_expr("q", "v").alias("cos"))
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", F.col("n_id").alias("neighbor_id"), F.round("cos", 6).alias("cos"), "rk")
     )
+    if scratch is None:
+        out = out.cache()
+        out.count()
+        for c in own_scratch:
+            c.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -349,6 +357,11 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float,
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
+    if recorder is not None:
+        # the stats job below and the pairs consumer would otherwise
+        # each run the full-corpus centroid-assignment UDF: cache the
+        # cell assignment, materialize the pairs off it, then release
+        cells = cells.cache()
     pairs = cells.groupBy("cell").applyInPandas(
         emit_pairs, schema=f"id_a {id_type}, id_b {id_type}"
     )
@@ -359,6 +372,9 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float,
         ).collect()[0]
         recorder.metric("semantic_dedup", "n_cells", int(stats["nc"]))
         recorder.metric("semantic_dedup", "max_cell_rows", int(stats["mx"]))
+        pairs = pairs.cache()
+        pairs.count()
+        cells.unpersist()
     return pairs
 
 

@@ -102,19 +102,25 @@ def latest_index_versions(idx: DataFrame, keys: list[str]) -> DataFrame:
     """Resolve each key to its newest appended version.
 
     Append-only index tables accumulate one row-version per (stream,
-    batch) a key re-arrives in; the current version is the one with the
-    max (batch_id, stream_id) — groupBy + join-back (map-side combine,
+    batch) a key re-arrives in — groupBy + join-back (map-side combine,
     skew-safe), never a window sort. This is the parquet-append analogue
     of reading an Iceberg table maintained by MERGE upserts.
+
+    Version order is (ingested_at, batch_id, stream_id): batch ids are
+    only monotone WITHIN one checkpoint lineage, so after a restart with
+    a fresh checkpoint dir (batch ids reset to 0) ordering on batch_id
+    alone would resolve re-arrived keys to the OLD lineage's stale rows
+    forever. The commit wall-clock stamped at append time orders across
+    lineages; batch_id/stream_id only break (sub-microsecond) ties.
+    Tables written before ingested_at existed fall back to the old
+    (batch_id, stream_id) order.
     """
+    order_cols = (["ingested_at"] if "ingested_at" in idx.columns else []) \
+        + ["batch_id", "stream_id"]
     latest = idx.groupBy(*keys).agg(
-        F.max(F.struct("batch_id", "stream_id")).alias("_v")
-    ).select(
-        *keys,
-        F.col("_v.batch_id").alias("batch_id"),
-        F.col("_v.stream_id").alias("stream_id"),
-    )
-    return idx.join(latest, [*keys, "batch_id", "stream_id"])
+        F.max(F.struct(*order_cols)).alias("_v")
+    ).select(*keys, *[F.col(f"_v.{c}").alias(c) for c in order_cols])
+    return idx.join(latest, [*keys, *order_cols])
 
 
 # hash-bucket fan-out of stream-scoped dedup tables (stream.verified):
@@ -188,19 +194,21 @@ def run_incremental_ingest(
                          this whole append-once is a MERGE into a table
                          bucketed by bucket(N, a, b).
         """
+        cached = None
         if scope == "stream":
             df = df.withColumn(
                 "pair_bucket",
                 F.pmod(F.xxhash64(*keys), F.lit(N_PAIR_BUCKETS)),
             ).cache()
+            cached = df  # df is rebound below; unpersist THIS frame
         if catalog.exists(ident):
             prior = pruned_prior(catalog, ident, df, keys, stream_id,
                                  scope=scope, batch_id=batch_id)
             df = df.join(prior.select(keys), keys, "left_anti")
         part = ["pair_bucket"] if scope == "stream" else ["batch_id"]
         catalog.write(df, ident, mode="append", partition_by=part)
-        if scope == "stream":
-            df.unpersist()
+        if cached is not None:
+            cached.unpersist()
 
     def process_batch(batch_turns: DataFrame, batch_id: int) -> None:
         if batch_turns.isEmpty():
@@ -243,15 +251,19 @@ def run_incremental_ingest(
         )
         bid = F.lit(batch_id).alias("batch_id")
         sid = F.lit(stream_id).alias("stream_id")
+        # commit wall-clock: orders row versions ACROSS checkpoint
+        # lineages (latest_index_versions), where batch ids restart
+        ts = F.current_timestamp().alias("ingested_at")
         _append_once(
             verified.filter("verdict"), "stream.verified", ["a", "b"], batch_id,
             scope="stream",  # a re-derived pair is a duplicate, not a version
         )
         _append_once(
-            new_feats.select("*", bid, sid), "index.features", ["id"], batch_id
+            new_feats.select("*", bid, sid, ts), "index.features", ["id"],
+            batch_id,
         )
         _append_once(
-            new_bands.select("*", bid, sid), "index.bands",
+            new_bands.select("*", bid, sid, ts), "index.bands",
             ["id", "band_id", "band_hash"], batch_id,
         )
         catalog.write(

@@ -126,15 +126,26 @@ def test_sorted_write_declares_iceberg_write_order():
     spark.catalog.tableExists.return_value = False
     df = mock.MagicMock()
     cat.write(df, "t.sorted", sort_by=["v", "k"])
-    df.writeTo.return_value.createOrReplace.assert_called_once()
+    # the data written NOW must itself be range-clustered: ALTER ...
+    # WRITE ORDERED BY only governs future writers, so the initial
+    # snapshot goes through repartitionByRange + sortWithinPartitions
+    df.repartitionByRange.assert_called_once()
+    assert df.repartitionByRange.call_args[0][1:] == ("v", "k")
+    clustered = df.repartitionByRange.return_value \
+        .sortWithinPartitions.return_value
+    clustered.writeTo.return_value.createOrReplace.assert_called_once()
+    df.writeTo.assert_not_called()  # never the unsorted frame
     spark.sql.assert_called_with(
         "ALTER TABLE ice.t.sorted WRITE ORDERED BY (v, k)")
-    # appends inherit the declared write order: no ALTER re-issued
+    # appends inherit the declared write order: no ALTER re-issued —
+    # but the appended data is still clustered before it lands
     spark.reset_mock()
     spark.catalog.tableExists.return_value = True
     df2 = mock.MagicMock()
     cat.write(df2, "t.sorted", mode="append", sort_by=["v", "k"])
-    df2.writeTo.return_value.append.assert_called_once()
+    clustered2 = df2.repartitionByRange.return_value \
+        .sortWithinPartitions.return_value
+    clustered2.writeTo.return_value.append.assert_called_once()
     spark.sql.assert_not_called()
 
 

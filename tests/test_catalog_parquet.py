@@ -227,3 +227,68 @@ def test_append_schema_mismatch_fails_fast_unless_evolving(spark, tmp_path):
               "t.ev", mode="append", evolve_schema=True)
     assert cat.manifest("t.ev").get("merge_schema") is True
     assert cat.read("t.ev").count() == 3
+
+
+def test_merge_into_preserves_partitioning_and_sort(spark, tmp_path):
+    """The parquet-fallback merge is a full rewrite — it must carry the
+    table's recorded layout (hive partitioning, range clustering) and,
+    absent new meta, the existing meta. A merge that silently
+    de-partitions the table breaks the next partitioned append."""
+    import glob
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write(_pairs(spark, 6, 0), "t.ml", partition_by=["batch_id"],
+              meta={"gen": "1"})
+    cat.merge_into(
+        spark.createDataFrame([("k1", 100, 0)], ["k", "v", "batch_id"]),
+        "t.ml", ["k"])
+    man = cat.manifest("t.ml")
+    assert man.get("partition_by") == ["batch_id"]
+    assert cat.properties("t.ml") == {"gen": "1"}  # meta survives
+    data = os.path.join(str(tmp_path / "wh"), "t", "ml", "data")
+    assert glob.glob(os.path.join(data, "batch_id=0", "*.parquet"))
+    # the partitioned append that previously raised layout-mismatch
+    cat.write(_pairs(spark, 3, 1), "t.ml", mode="append",
+              partition_by=["batch_id"], meta={"gen": "1"})
+    assert cat.read("t.ml").count() == 9
+    got = {r["k"]: r["v"] for r in cat.read("t.ml")
+           .filter("batch_id = 0").collect()}
+    assert got["k1"] == 100  # the upsert landed
+
+    # sort-clustered table: merge keeps the sort_by marker
+    cat.write(_pairs(spark, 50, 0), "t.ms", sort_by=["v"])
+    cat.merge_into(
+        spark.createDataFrame([("k0", 999, 0)], ["k", "v", "batch_id"]),
+        "t.ms", ["k"])
+    assert cat.manifest("t.ms").get("sort_by") == ["v"]
+
+
+def test_compact_preserves_sort_clustering(spark, tmp_path):
+    """compact() on a sort-clustered table must re-range-partition on
+    the recorded sort keys (keeping file ranges disjoint), not
+    hash-repartition the clustering away."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 2000).alias("v"))
+    cat.write(df.repartition(8), "t.cs", sort_by=["v"], meta={"gen": "1"})
+    cat.compact("t.cs")
+    assert cat.manifest("t.cs").get("sort_by") == ["v"]
+    assert cat.properties("t.cs") == {"gen": "1"}
+    data = os.path.join(str(tmp_path / "wh"), "t", "cs", "data")
+    rs = []
+    for fn in glob.glob(os.path.join(data, "*.parquet")):
+        col = pq.read_table(fn, columns=["v"])["v"].to_pylist()
+        if col:
+            rs.append((min(col), max(col)))
+    rs.sort()
+    assert len(rs) > 1
+    for (lo1, hi1), (lo2, _hi2) in zip(rs, rs[1:]):
+        assert hi1 <= lo2, f"compaction destroyed clustering: {rs}"
+    assert sorted(r["v"] for r in cat.read("t.cs").collect()) \
+        == sorted(range(0, 2000))

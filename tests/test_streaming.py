@@ -365,3 +365,48 @@ def test_dedup_turn_deliveries_drops_redeliveries_keeps_versions(spark, tmp_path
         ("c1", 1, "final answer"),
         ("c2", 0, "other conv"),
     ]
+
+
+def test_restart_new_checkpoint_resolves_latest_across_lineages(spark, tmp_path):
+    """Batch ids are only monotone within one checkpoint lineage. After a
+    restart with a FRESH checkpoint dir (batch ids reset to 0), readers
+    must still resolve a re-arrived conv to its newest version — ordering
+    on (batch_id, stream_id) alone would pin the OLD lineage's stale row
+    (old batch 1 > new batch 0) and verify new arrivals against stale
+    features. ingested_at orders across lineages."""
+    inp = tmp_path / "inx"
+    inp.mkdir()
+    wh = str(tmp_path / "whx")
+    cfg = DedupConfig(jaccard_threshold=0.7)
+    x = ["first version content entirely unique " * 20]
+    y = ["shared duplicate target content words " * 20]
+    t0 = datetime(2025, 6, 1)
+
+    # lineage A, two batches: u1 lands in A's batch 1 (batch_id > 0)
+    _write_wave(str(inp / "w1.parquet"), {"ref": y}, t0)
+    run_incremental_ingest(spark, str(inp), wh, str(tmp_path / "ckptA"), cfg)
+    _write_wave(str(inp / "w2.parquet"), {"u1": x}, t0 + timedelta(hours=1))
+    run_incremental_ingest(spark, str(inp), wh, str(tmp_path / "ckptA"), cfg)
+
+    # lineage B (new checkpoint dir, same warehouse): reprocesses all
+    # waves as ITS batch 0 — u1's newest turn version there is y
+    _write_wave(str(inp / "w3.parquet"), {"u1": y}, t0 + timedelta(hours=2))
+    run_incremental_ingest(spark, str(inp), wh, str(tmp_path / "ckptB"), cfg)
+
+    from hsip.catalog import Catalog
+    from hsip.streaming import latest_index_versions
+
+    cat = Catalog(spark, wh)
+    feats = cat.read("index.features")
+    latest = latest_index_versions(feats, ["id"])
+    assert latest.count() == 2
+    # u1's resolved version must come from lineage B despite its lower
+    # batch_id; with it, a new arrival matching y pairs with u1
+    u1 = latest.filter("id = 'u1'").collect()[0]
+    assert u1["stream_id"].endswith("ckptB"), (
+        f"stale lineage won: {u1['stream_id']} batch {u1['batch_id']}")
+
+    _write_wave(str(inp / "w4.parquet"), {"w4": y}, t0 + timedelta(hours=3))
+    run_incremental_ingest(spark, str(inp), wh, str(tmp_path / "ckptB"), cfg)
+    verified = {(r.a, r.b) for r in cat.read("stream.verified").collect()}
+    assert ("u1", "w4") in verified and ("ref", "w4") in verified
