@@ -204,6 +204,17 @@ def connected_components(
             if cur == prev:
                 break
             prev = cur
+        else:
+            # the extraction below assumes a CONVERGED star graph;
+            # falling through would silently label one component with
+            # several cluster_ids (under-merged duplicates shipped into
+            # training splits with no signal). Fail loudly instead —
+            # max_iter bounds rounds far above the O(log n) expectation,
+            # so hitting it means something is wrong, not slow.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "star rounds; raise max_iter or inspect the edge set"
+            )
     finally:
         for k, v in _saved.items():
             if v is None:

@@ -79,16 +79,19 @@ def _sig_batch(arrs: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
         if len(seg):
             # wrapping affine permutation of Z_2^64 — no division
             h = a[:, None] * seg[None, :] + b[:, None]  # (P, S)
-            # clamp starts for empty segments (rows with 0 shingles), then
-            # overwrite those rows with the sentinel below
-            local_starts = np.minimum(
-                (starts[row:end] - lo).astype(np.int64), len(seg) - 1
-            )
-            mins = np.minimum.reduceat(h, local_starts, axis=1)  # (P, rows)
-            out[row:end] = mins.T
-            empty = lens[row:end] == 0
-            if empty.any():
-                out[row:end][empty] = _EMPTY_SENTINEL
+            # reduceat ONLY over the non-empty rows' segments: an empty
+            # row contributes no flat cells, and clamping its start to
+            # len(seg)-1 would TRUNCATE the preceding row's segment
+            # (reduceat segment i ends at start i+1) — excluding its
+            # last shingle(s) from the min and corrupting that
+            # signature. Same trap simhash._bitvote documents; empty
+            # rows get the sentinel directly.
+            out[row:end] = _EMPTY_SENTINEL
+            nonempty = lens[row:end] > 0
+            if nonempty.any():
+                ne_starts = (starts[row:end][nonempty] - lo).astype(np.int64)
+                mins = np.minimum.reduceat(h, ne_starts, axis=1)  # (P, ne)
+                out[row:end][nonempty] = mins.T
         else:
             out[row:end] = _EMPTY_SENTINEL
         row = end

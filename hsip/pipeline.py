@@ -272,36 +272,47 @@ def run_documents(
     # feature frames across two builder threads.
     shingles = sigs = simhashes = feats = None
     _feat_lock = threading.Lock()
+    _sh_lock = threading.Lock()
 
-    def _ensure_features():
+    def _ensure_features(mh: bool = True, sh: bool = True):
         nonlocal shingles, sigs, simhashes, feats
-        with _feat_lock:
-            if shingles is not None or simhashes is not None:
-                return
-            if cfg.fused_kernel and (need_mh or need_sh):
-                # one Arrow pass computes shingles+sig+simhash (textkernel.py)
-                feats = stage("features", lambda: featurize(chan_base, "id", "text", cfg))
-                scratch.append(feats)
-                shingles = feats.select("id", "shingles")
-                sigs = feats.select("id", "sig")
-                simhashes = feats.select("id", "simhash")
-            else:
-                if need_mh:
+        if cfg.fused_kernel and (need_mh or need_sh):
+            # one Arrow pass computes shingles+sig+simhash (textkernel.py)
+            # — indivisible, so one lock and one builder
+            with _feat_lock:
+                if shingles is None and simhashes is None:
+                    feats = stage(
+                        "features",
+                        lambda: featurize(chan_base, "id", "text", cfg))
+                    scratch.append(feats)
+                    shingles = feats.select("id", "shingles")
+                    sigs = feats.select("id", "sig")
+                    simhashes = feats.select("id", "simhash")
+            return
+        # non-fused: separate guards per feature family, and each caller
+        # asks only for what its channel needs — the minhash and simhash
+        # builds run CONCURRENTLY on the two channel threads instead of
+        # the first arrival serializing both under one lock
+        if mh and need_mh:
+            with _feat_lock:
+                if shingles is None:
                     shingles = stage(
-                        "shingles", lambda: shingle_docs(chan_base, "id", "text", cfg)
-                    )
+                        "shingles",
+                        lambda: shingle_docs(chan_base, "id", "text", cfg))
                     sigs = stage(
-                        "minhash", lambda: attach_minhash(shingles, cfg), reuse=False
-                    )
+                        "minhash", lambda: attach_minhash(shingles, cfg),
+                        reuse=False)
                     scratch.append(shingles)
-                if need_sh:
+        if sh and need_sh:
+            with _sh_lock:
+                if simhashes is None:
                     simhashes = stage(
-                        "simhash", lambda: attach_simhash(chan_base, "id", "text", cfg)
-                    )
+                        "simhash",
+                        lambda: attach_simhash(chan_base, "id", "text", cfg))
                     scratch.append(simhashes)
 
     def _mh_channel() -> DataFrame:
-        _ensure_features()
+        _ensure_features(sh=False)
 
         def build_lsh():
             pairs, hot = lsh_candidates(sigs, cfg, scratch=scratch)
@@ -319,7 +330,7 @@ def run_documents(
         )
 
     def _sh_channel() -> DataFrame:
-        _ensure_features()
+        _ensure_features(mh=False)
 
         def build_sim():
             pairs, hot = simhash_candidates(simhashes, cfg, scratch=scratch)

@@ -39,6 +39,14 @@ def reassemble(turns: DataFrame, turn_sep: str = "\n") -> DataFrame:
 
     ``turns`` column keeps the full ordered struct array so the per-turn
     equality audit and downstream per-turn features don't need a re-join.
+
+    NULL turn text contributes an EMPTY slot (its separator survives),
+    not a skipped one: concat_ws drops NULL elements entirely, so
+    without the coalesce ['a', NULL, 'b'] and ['a', 'b'] would
+    reassemble byte-identically and dedup would collapse two
+    structurally different conversations. NULL and '' read the same in
+    doc_text by design — the turns struct and the C3 audit (null-safe)
+    still distinguish them.
     """
     ordered = F.sort_array(
         F.collect_list(F.struct("turn_idx", "role", "text", "tool", "ts"))
@@ -48,9 +56,11 @@ def reassemble(turns: DataFrame, turn_sep: str = "\n") -> DataFrame:
         .agg(ordered.alias("turns"))
         .select(
             "conv_id",
-            F.concat_ws(turn_sep, F.transform("turns", lambda t: t["text"])).alias(
-                "doc_text"
-            ),
+            F.concat_ws(
+                turn_sep,
+                F.transform("turns",
+                            lambda t: F.coalesce(t["text"], F.lit("")))
+            ).alias("doc_text"),
             F.size("turns").cast("int").alias("n_turns"),
             "turns",
         )
@@ -73,6 +83,15 @@ def explode_turns(conversations: DataFrame) -> DataFrame:
 
 def audit_turn_equality(ours: DataFrame, reference: DataFrame) -> DataFrame:
     """C3: rows of ``reference`` whose (conv_id, turn_idx, text) we lost or
-    mutated. Must be empty — byte-exact per-turn equality invariant."""
+    mutated. Must be empty — byte-exact per-turn equality invariant.
+
+    The join is null-safe on text (the schema allows NULL turn text,
+    e.g. tool-only turns): a plain equi-join would report an identical
+    NULL row on both sides as lost, failing the audit spuriously."""
     cols = ["conv_id", "turn_idx", "text"]
-    return reference.select(cols).join(ours.select(cols), cols, "left_anti")
+    r, o = reference.select(cols).alias("r"), ours.select(cols).alias("o")
+    cond = None
+    for c in cols:
+        eq = F.col(f"r.{c}").eqNullSafe(F.col(f"o.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return r.join(o, cond, "left_anti")

@@ -359,7 +359,8 @@ def stateful_reassemble(turns_stream: DataFrame, idle_gap_s: int = 1800,
                     "n_turns": np.array([len(kept)], dtype="int32"),
                     "first_ts": [pd.Timestamp(int(kept["ts"].min()), unit="us")],
                     "last_ts": [pd.Timestamp(int(kept["ts"].max()), unit="us")],
-                    "doc_text": ["\n".join(kept["text"])],
+                    # NULL text -> empty slot, matching batch reassemble
+                    "doc_text": ["\n".join(kept["text"].fillna(""))],
                 }
             )
             return

@@ -175,11 +175,10 @@ def verify_jaccard_hamming(pairs: DataFrame, features: DataFrame,
         .join(pair_ids, "id", "left_semi")
         .cache()
     )
-    if eager:
-        # without the count, AQE's concurrent join-side futures build the
-        # pruned subtree twice; ``eager=False`` (small corpora) accepts
-        # that — the rebuild is cheaper than the barrier there
-        f.count()
+    # without the count, AQE's concurrent join-side futures build the
+    # pruned subtree twice (eager=False took the fused early-return
+    # above, so this split path always materializes)
+    f.count()
     if scratch is not None:
         scratch.append(f)
     mh = mh_pairs.join(f, mh_pairs["a"] == f["id"]).drop("id") \

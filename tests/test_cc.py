@@ -160,3 +160,21 @@ def test_quality_representatives_scoreless_members(spark):
         for r in quality_representatives(clusters, scores).collect()
     }
     assert got == {"c1": ("d1", 1, 2), "c2": ("e2", None, 2)}
+
+
+def test_nonconvergence_raises_instead_of_mislabeling(spark):
+    """Exhausting max_iter without checksum convergence must raise: the
+    post-loop extraction assumes a converged star graph, and falling
+    through would silently split one component across several
+    cluster_ids."""
+    import pytest
+
+    from hsip.cc import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(12)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1, local_max_edges=0)
+    # same edges converge fine with the default budget
+    out = connected_components(chain, local_max_edges=0)
+    assert out.select("cluster_id").distinct().count() == 1

@@ -66,3 +66,34 @@ def test_identical_sets_identical_sigs():
     s = list(range(100, 400))
     sa, sb = minhash_signatures_local([s, list(s)], cfg)
     assert list(sa) == list(sb)
+
+
+def test_classic_signature_neighbor_invariant_around_empty_rows():
+    """A doc's classic-variant signature must not depend on its batch
+    neighbors: empty/None shingle rows adjacent to a real doc previously
+    TRUNCATED that doc's reduceat segment (the clamped start excluded
+    its last shingles from the min), silently corrupting signatures and
+    therefore LSH banding."""
+    import numpy as np
+    import pandas as pd
+
+    from hsip.minhash import _EMPTY_SENTINEL, _coeffs, _sig_batch
+
+    a, b = _coeffs(16, 42)
+    x = np.array([111, 222], dtype=np.int64)
+    y = np.array([333, 444, 555], dtype=np.int64)
+    e = np.array([], dtype=np.int64)
+    alone_x = _sig_batch(pd.Series([x]), a, b)[0]
+    alone_y = _sig_batch(pd.Series([y]), a, b)[0]
+    for batch, idx, idy in [
+        ([x, e], 0, None), ([e, x], 1, None),
+        ([e, x, e, y, e], 1, 3), ([x, None, y], 0, 2),
+    ]:
+        got = _sig_batch(pd.Series(batch, dtype=object), a, b)
+        assert (got[idx] == alone_x).all(), f"x corrupted in {batch}"
+        if idy is not None:
+            assert (got[idy] == alone_y).all(), f"y corrupted in {batch}"
+        for i, arr in enumerate(batch):
+            if arr is None or len(arr) == 0:
+                sent = np.asarray(got[i], dtype=np.int64).view(np.uint64)
+                assert (sent == _EMPTY_SENTINEL).all()

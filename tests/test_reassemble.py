@@ -57,3 +57,31 @@ def test_audit_catches_mutation(spark):
         spark, [("c1", 0, "user", "ORIGINAL", "", datetime(2025, 1, 1))]
     )
     assert audit_turn_equality(mutated, raw).count() == 1
+
+
+def test_null_turn_text_keeps_slot_and_audit_is_null_safe(spark):
+    """NULL turn text must contribute an EMPTY doc_text slot (separator
+    survives), so ['a', NULL, 'b'] and ['a', 'b'] reassemble differently;
+    and the C3 audit must treat identical NULL rows on both sides as
+    equal (plain equi-join would report them as lost)."""
+    from datetime import datetime
+
+    from hsip.reassemble import audit_turn_equality, reassemble
+
+    t0 = datetime(2025, 6, 1)
+    rows = [
+        ("c1", 0, "user", "a", "", t0), ("c1", 1, "tool", None, "srch", t0),
+        ("c1", 2, "user", "b", "", t0),
+        ("c2", 0, "user", "a", "", t0), ("c2", 1, "user", "b", "", t0),
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    turns = spark.createDataFrame(rows, schema)
+    docs = {r["conv_id"]: r["doc_text"]
+            for r in reassemble(turns).collect()}
+    assert docs["c1"] == "a\n\nb"
+    assert docs["c2"] == "a\nb"
+    assert docs["c1"] != docs["c2"]
+
+    audit = audit_turn_equality(turns, turns)
+    assert audit.count() == 0, "identical NULL-text rows flagged as lost"
