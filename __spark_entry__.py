@@ -3137,7 +3137,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
-                   round((nc - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                   round((nc - length(regexp_replace(text,
+                             '[^\p{L}\p{N}_\s]', '', 'g')))
                          / greatest(nc, 1), 6) AS punct_ratio,
                    round((nc - length(regexp_replace(text, '[0-9]', '', 'g')))
                          / greatest(nc, 1), 6) AS digit_ratio,

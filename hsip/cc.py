@@ -14,7 +14,7 @@ needs to be deterministic (BASELINE.json:2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -289,6 +289,23 @@ def quality_representatives(
             "cluster_size",
         )
     )
+
+
+def tier_score_col(fixed_channels: tuple[str, ...] = ("simhash", "substr",
+                                                      "exact")) -> Column:
+    """Per-pair tier score over a combine_verified row: pairs verified by
+    a FIXED-threshold channel count as edges at every tier (score 1.0);
+    minhash-only pairs score their exact jaccard.
+
+    Keyed on the verdict-true ``channels`` set, NOT on jaccard being
+    null: a simhash/substr-verified pair that ALSO surfaced as an LSH
+    candidate carries that candidate's (possibly sub-threshold) exact
+    jaccard, and scoring it by that value would drop the edge from high
+    tiers while an identical pair LSH never proposed kept 1.0."""
+    fixed = F.arrays_overlap(
+        F.col("channels"), F.array(*[F.lit(c) for c in fixed_channels]))
+    return (F.when(fixed, F.lit(1.0))
+            .otherwise(F.coalesce(F.col("jaccard"), F.lit(1.0))))
 
 
 def tiered_clusters(

@@ -174,7 +174,7 @@ def _image_feature_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def extract_image_features(media: DataFrame, partition_target_mb: int = 64) -> DataFrame:
+def extract_image_features(media: DataFrame) -> DataFrame:
     """mapInPandas image decode + feature pass.
 
     Scale shape: binary payloads dominate partition size, so callers
@@ -211,12 +211,21 @@ def phash_near_dup_pairs(feats: DataFrame, max_hamming: int = 3,
     sim = feats.filter(F.col("ok") & F.col("phash").isNotNull()).select(
         F.col("media_id").alias("id"), F.col("phash").alias("simhash")
     )
-    pairs, _truncated = simhash_candidates(sim, cfg)
-    v = verify_hamming(pairs, sim, cfg)
-    return (
-        v.filter("verdict")
+    scratch: list = []
+    pairs, _truncated = simhash_candidates(sim, cfg, scratch=scratch)
+    out = (
+        verify_hamming(pairs, sim, cfg)
+        .filter("verdict")
         .select(F.col("a").alias("media_a"), F.col("b").alias("media_b"), "hamming")
     )
+    # materialize, then release the eagerly-cached C(B, B-d) block table
+    # simhash_candidates holds — without this each call pins it for the
+    # session (the scratch=None convention the text channels follow)
+    out = out.cache()
+    out.count()
+    for c in scratch:
+        c.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

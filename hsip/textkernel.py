@@ -83,7 +83,13 @@ def _doc_features(data: np.ndarray, k: int, seed: np.uint64) -> tuple[np.ndarray
     normalized utf-8 byte array (single-space separated tokens)."""
     n = len(data)
     if n == 0:
-        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+        # empty normalized doc: the WHOLE-DOC hash singleton, mirroring
+        # the nt<k branch below and the SQL path's `short` fallback
+        # (shingle.shingles_col) — an empty shingle ARRAY here would
+        # make two empty docs verify at jaccard 0 in fused runs while
+        # the SQL path clusters them at 1.0 (same text, same config)
+        whole = _mix(np.zeros(1, dtype=np.uint64), seed)
+        return whole, np.empty(0, dtype=np.uint64)
     pref = np.zeros(n + 1, dtype=np.uint64)
     pw = np.empty(n, dtype=np.uint64)
     pw[0] = 1
@@ -101,7 +107,13 @@ def _doc_features(data: np.ndarray, k: int, seed: np.uint64) -> tuple[np.ndarray
     tok_starts, tok_ends = tok_starts[keep], tok_ends[keep]
     nt = len(tok_starts)
     if nt == 0:
-        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+        # no tokens (shouldn't occur post-norm): whole-doc hash, same
+        # rationale as the n == 0 branch above
+        whole = _span_hashes(
+            data, np.array([0], dtype=np.int64),
+            np.array([n], dtype=np.int64), pref, inv, seed,
+        )
+        return whole, np.empty(0, dtype=np.uint64)
     token_hashes = _span_hashes(data, tok_starts, tok_ends, pref, inv, seed)
     if nt >= k:
         gram_hashes = _span_hashes(

@@ -45,12 +45,20 @@ def quality_columns(text: Column) -> dict[str, Column]:
     lexical diversity — the standard web-corpus filters."""
     n_chars = F.length(text)
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    toks_raw = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
     n_tokens = F.size(toks)
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
+        # \p{L}\p{N} (not bare \w, ASCII-only in Java AND RE2): without
+        # it every non-Latin letter counts as punctuation and clean
+        # Russian/Greek/CJK prose scores punct_ratio ~ 1.0 — the exact
+        # trap normalize.py's (?U) note documents, written with \p
+        # classes here so DuckDB's RE2 (no (?U) support) can replicate
+        # the expression verbatim
         "punct_ratio": F.round(
-            (n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))) /
+            (n_chars
+             - F.length(F.regexp_replace(text, r"[^\p{L}\p{N}_\s]", ""))) /
             F.greatest(n_chars, F.lit(1)),
             6,
         ),
@@ -62,8 +70,13 @@ def quality_columns(text: Column) -> dict[str, Column]:
         "diversity": F.round(
             F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)), 6
         ),
+        # true mean token length (sum of token chars / tokens), NOT the
+        # (n_chars - n_tokens + 1)/n_tokens shortcut, which assumes
+        # single-space-separated text: on raw indented/markdown docs the
+        # whitespace runs inflate it several-fold
         "mean_token_len": F.round(
-            (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1)), 6
+            F.length(F.array_join(toks_raw, "")) /
+            F.greatest(n_tokens, F.lit(1)), 6
         ),
     }
 
@@ -329,8 +342,12 @@ def curation_verdict(df: DataFrame, id_col: str, text_col: str,
     # oracle agree bit-for-bit.
     n_chars = F.length(text)
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    toks_raw = F.filter(F.split(text, r"\s+"), lambda t: t != F.lit(""))
     nt = F.size(toks).cast("long")
-    mtl = (n_chars - nt + 1) / F.greatest(nt, F.lit(1))
+    # true mean token length (token chars / tokens) — the old
+    # (nc - nt + 1)/nt shortcut counted whitespace runs as word length,
+    # misdropping indented code/markdown docs as 'long_words'
+    mtl = F.length(F.array_join(toks_raw, "")) / F.greatest(nt, F.lit(1))
     div = F.size(F.array_distinct(toks)) / F.greatest(nt, F.lit(1))
     dig = (
         n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
@@ -361,18 +378,21 @@ def curation_oracle_sql(table: str, id_expr: str, text_expr: str,
     r = CURATION_RULES if rules is None else rules
     toks = (f"list_filter(string_split_regex(lower({text_expr}), '\\s+'),"
             f" x -> x <> '')")
+    toks_raw = (f"list_filter(string_split_regex({text_expr}, '\\s+'),"
+                f" x -> x <> '')")
     return f"""
         WITH t AS (
             SELECT {id_expr} AS id,
                    CAST(len({toks}) AS BIGINT) AS nt,
                    length({text_expr}) AS nc,
+                   length(array_to_string({toks_raw}, '')) AS ntc,
                    len(list_distinct({toks})) AS ndt,
                    length(regexp_replace({text_expr}, '[0-9]', '', 'g'))
                        AS nc_nodigit
             FROM {table}
         ), s AS (
             SELECT id, nt,
-                   (nc - nt + 1) * 1.0 / greatest(nt, 1) AS mtl,
+                   ntc * 1.0 / greatest(nt, 1) AS mtl,
                    ndt * 1.0 / greatest(nt, 1) AS div,
                    (nc - nc_nodigit) * 1.0 / greatest(nc, 1) AS dig
             FROM t

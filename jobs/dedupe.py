@@ -113,12 +113,14 @@ def main(argv=None):
     if args.tiers:
         from pyspark.sql import functions as F
 
-        from hsip.cc import tiered_clusters
+        from hsip.cc import tier_score_col, tiered_clusters
 
         thresholds = tuple(float(x) for x in args.tiers.split(","))
+        # fixed-threshold channels (simhash/substr/exact) count at every
+        # tier; minhash-only pairs score their exact jaccard — see
+        # tier_score_col's docstring for why this keys on channels
         scored = res.verified.filter("verdict").select(
-            "a", "b",
-            F.coalesce(F.col("jaccard"), F.lit(1.0)).alias("score"),
+            "a", "b", tier_score_col().alias("score"),
         )
         tiered = tiered_clusters(
             res.clusters.select("id"), scored,

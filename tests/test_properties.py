@@ -161,3 +161,33 @@ def test_icws_signature_is_multiset_function(pairs, seed):
         _icws_batch(pd.Series([flat, shuffled]), 16, seed).to_numpy()
     )
     assert (sigs[0] == sigs[1]).all()
+
+
+def test_empty_docs_cluster_identically_on_both_featurizations(spark):
+    """Two docs whose text normalizes to empty must verify as exact
+    duplicates (jaccard 1.0) under BOTH the fused kernel and the SQL
+    shingle path: the fused kernel previously emitted an empty shingle
+    array for 0-token docs (jaccard 0, not clustered) while the SQL
+    path's whole-doc-hash fallback clustered them — same corpus and
+    config, different clusters on the fused_kernel toggle."""
+    from hsip.config import DedupConfig
+    from hsip.pipeline import run_documents
+
+    docs = spark.createDataFrame(
+        [("e1", ""), ("e2", "   "), ("x", "some real text here " * 10),
+         ("y", "some real text here " * 10)],
+        ["doc_id", "text"],
+    )
+    got = {}
+    for fused in (True, False):
+        cfg = DedupConfig(num_perm=32, lsh_bands=32, lsh_rows=1,
+                          jaccard_threshold=0.5, fused_kernel=fused)
+        res = run_documents(spark, docs, "doc_id", "text", cfg,
+                            channels=("minhash_lsh",))
+        labels = {r["id"]: r["cluster_id"]
+                  for r in res.clusters.collect()}
+        got[fused] = labels
+        assert labels["e1"] == labels["e2"], f"fused={fused}"
+        assert labels["x"] == labels["y"], f"fused={fused}"
+        assert labels["e1"] != labels["x"], f"fused={fused}"
+    assert got[True] == got[False]

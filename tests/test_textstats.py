@@ -137,3 +137,45 @@ def test_decontaminate(spark):
         for r in decontaminate(df, "id", "text", F.col("id") == 0, k=4).collect()
     }
     assert out == {"1": 1, "3": 1}
+
+
+def test_punct_ratio_unicode_and_mean_token_len_whitespace(spark):
+    """punct_ratio must not count non-Latin letters as punctuation
+    (\\p{L}\\p{N}, not ASCII \\w), and mean_token_len must be the true
+    token-chars/tokens ratio, immune to whitespace runs — the old
+    (nc-nt+1)/nt shortcut scored indented docs as 'long words'."""
+    import duckdb
+
+    from hsip.textstats import curation_verdict, quality_columns
+
+    rows = [
+        ("u1", "это чистая русская проза без знаков"),
+        ("u2", "clean english prose with no marks"),
+        ("u3", "  indented   code\n\n    block  here  "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in
+                    quality_columns(F.col("text")).items()]).collect()}
+    assert q["u1"]["punct_ratio"] == q["u2"]["punct_ratio"] == 0.0
+    # 'indented code block here' = 21 token chars / 4 tokens
+    assert q["u3"]["mean_token_len"] == 5.25
+    assert q["u3"]["n_tokens"] == 4
+
+    # verdict parity with the generated DuckDB oracle on the same rows
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    from hsip.textstats import curation_oracle_sql
+
+    oracle = {r[0]: (r[1], r[2], r[4], r[5]) for r in
+              con.execute(curation_oracle_sql("docs", "doc_id", "text"))
+              .fetchall()}
+    ours = {r["doc_id"]: (r["n_tokens"], r["mean_token_len"], r["reason"],
+                          r["keep"])
+            for r in curation_verdict(df, "doc_id", "text").collect()}
+    for k in ours:
+        assert ours[k][0] == oracle[k][0], k
+        assert abs(ours[k][1] - oracle[k][1]) < 1e-9, k
+        assert ours[k][2:] == oracle[k][2:], k

@@ -57,3 +57,27 @@ def test_partition_invariance(spark, ids, scored):
 def test_empty_thresholds_rejected(spark, ids, scored):
     with pytest.raises(ValueError):
         tiered_clusters(ids, scored, ())
+
+
+def test_tier_score_counts_fixed_channels_at_every_tier(spark):
+    """A pair verified by a fixed-threshold channel scores 1.0 even when
+    an LSH candidacy attached a sub-threshold exact jaccard to the same
+    row; minhash-only pairs score their jaccard."""
+    from pyspark.sql import functions as F
+
+    from hsip.cc import tier_score_col
+
+    rows = [
+        ("a", "b", ["minhash_lsh"], 0.8),
+        ("c", "d", ["simhash"], 0.6),          # LSH candidate, mh verdict false
+        ("e", "f", ["substr"], None),
+        ("g", "h", ["exact", "minhash_lsh"], 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "a string, b string, channels array<string>, jaccard double")
+    got = {(r["a"], r["b"]): r["score"] for r in
+           df.select("a", "b", tier_score_col().alias("score")).collect()}
+    assert got[("a", "b")] == 0.8
+    assert got[("c", "d")] == 1.0   # not dropped from the 0.7/0.9 tiers
+    assert got[("e", "f")] == 1.0
+    assert got[("g", "h")] == 1.0
