@@ -71,14 +71,27 @@ def exact_truths(docs: DataFrame, id_col: str, text_col: str,
     rows = feats.select("id", "shingles", "simhash").collect()
     ids = [r.id for r in rows]
     sh = {r.id: set(r.shingles) for r in rows}
-    sim = np.array([r.simhash for r in rows], dtype=np.int64).view(np.uint64)
+    # (n, lanes): 64-bit fingerprints are scalars, 128-bit two-lane arrays
+    sim = np.array(
+        [r.simhash if isinstance(r.simhash, list) else [r.simhash]
+         for r in rows],
+        dtype=np.int64,
+    ).view(np.uint64)
+
+    # truth must see the SAME normalization the channels under audit use
+    # (norm_text_col(cfg)) — hard-coding lowercase+collapse here would
+    # diverge under strip_punct/nfc/lowercase=False configs and report
+    # phantom 'spurious' pairs for a correct channel
+    from .normalize import norm_text_col, tokens_col
+
+    normed = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        norm_text_col(text_col, cfg).alias("nt"),
+    )
 
     # 1. exact shingle Jaccard via a token-Jaccard superset join
-    toks = docs.select(
-        F.col(id_col).cast("string").alias("id"),
-        F.array_distinct(
-            F.split(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))), " ")
-        ).alias("t"),
+    toks = normed.select(
+        "id", F.array_distinct(tokens_col(F.col("nt"))).alias("t"),
     )
     a, b = toks.alias("a"), toks.alias("b")
     superset = (
@@ -103,17 +116,17 @@ def exact_truths(docs: DataFrame, id_col: str, text_col: str,
     n = len(sim)
     truth_h = set()
     for i in range(n):
-        x = sim[i] ^ sim[i + 1:]
-        hams = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        x = sim[i] ^ sim[i + 1:]  # (m, lanes)
+        # popcount across ALL lanes' bytes — works for 64-bit (1 lane)
+        # and 128-bit (2 lanes) layouts alike
+        hams = np.unpackbits(x.view(np.uint8), axis=1).sum(axis=1)
         for j in np.nonzero(hams <= cfg.hamming_d)[0]:
             p, q = ids[i], ids[i + 1 + int(j)]
             truth_h.add((min(p, q), max(p, q)))
 
-    # 3. exact common-substring >= L via the suffix-array oracle
-    texts = {
-        str(r[0]): " ".join(str(r[1] or "").lower().split())
-        for r in docs.select(id_col, text_col).collect()
-    }
+    # 3. exact common-substring >= L via the suffix-array oracle, over
+    # the same cfg-normalized texts the channel fingerprints
+    texts = {r["id"]: r["nt"] or "" for r in normed.collect()}
     spans = duplicate_spans_local(texts, cfg.min_substr_len)
     truth_s = {(min(x, y), max(x, y)) for x, y, _ in spans}
     return {"minhash_lsh": truth_j, "simhash": truth_h, "substr": truth_s}

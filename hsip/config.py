@@ -171,6 +171,23 @@ class DedupConfig:
                 "lane-locally (shiftright on one 64-bit lane), so the "
                 "width must divide 64 and be < 64"
             )
+        if self.lsh_bands * self.lsh_rows > self.num_perm:
+            # band i slices sig[i*rows : (i+1)*rows]; past num_perm the
+            # slice is EMPTY, so xxhash64(i, []) is a constant per band
+            # and every doc lands in one global bucket for those bands —
+            # n spurious star-pairs per band, silently
+            raise ValueError(
+                f"lsh_bands*lsh_rows = {self.lsh_bands * self.lsh_rows} "
+                f"exceeds num_perm = {self.num_perm}: bands past the "
+                "signature would bucket every doc together"
+            )
+        if self.substr_gram < 1:
+            raise ValueError(
+                f"winnow_window = {self.winnow_window} exceeds "
+                f"min_substr_len = {self.min_substr_len}: the winnowing "
+                "guarantee needs k_sa + w - 1 <= L, i.e. "
+                "winnow_window <= min_substr_len (Schleimer et al. thm 1)"
+            )
 
     _NON_SEMANTIC = frozenset({"cc_checkpoint_dir", "eager_barrier_min_docs"})
 

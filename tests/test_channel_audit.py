@@ -62,3 +62,29 @@ def test_channel_audit_exact_on_seeded_corpus(spark):
         assert r["n_truth"] > 0, f"{ch}: vacuous audit (no planted truth found)"
         assert r["recall"] == 1.0, (ch, r)
         assert r["precision"] == 1.0, (ch, r)
+
+
+def test_exact_truths_handles_128bit_fingerprints(spark):
+    """The audit's Hamming brute force must handle the two-lane 128-bit
+    fingerprint layout (it assumed a scalar 64-bit view and crashed on
+    reshape), and its truth normalization must follow cfg: with
+    strip_punct=True, docs identical modulo punctuation are duplicates
+    in every channel's truth set."""
+    from hsip.audit import exact_truths
+    from hsip.config import DedupConfig
+
+    base = "the same long document body repeated verbatim for the audit " * 6
+    docs = spark.createDataFrame(
+        [("a", base), ("b", base), ("c", base.replace("the", "??the!!")),
+         ("d", "entirely different content here with other words " * 6)],
+        ["doc_id", "text"],
+    )
+    cfg = DedupConfig(simhash_bits=128, hamming_blocks=8,
+                      strip_punct=True, min_substr_len=100)
+    truths = exact_truths(docs, "doc_id", "text", cfg)
+    assert ("a", "b") in truths["simhash"]     # identical -> hamming 0
+    assert ("a", "b") in truths["minhash_lsh"]
+    assert ("a", "b") in truths["substr"]
+    # punctuation-only difference: identical under strip_punct norm
+    assert ("a", "c") in truths["substr"]
+    assert ("a", "c") in truths["minhash_lsh"]

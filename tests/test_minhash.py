@@ -36,7 +36,7 @@ def test_unbiasedness(jacc, variant):
 
 
 def test_spark_matches_local(spark):
-    cfg = DedupConfig(num_perm=64)
+    cfg = DedupConfig(num_perm=64, lsh_bands=64, lsh_rows=1)
     rng = np.random.default_rng(3)
     sets = [rng.integers(-(2**62), 2**62, size=50).tolist() for _ in range(20)]
     df = spark.createDataFrame(
@@ -50,7 +50,7 @@ def test_spark_matches_local(spark):
 
 def test_partitioning_invariance(spark):
     """Signatures identical under repartition(1) vs repartition(7)."""
-    cfg = DedupConfig(num_perm=32)
+    cfg = DedupConfig(num_perm=32, lsh_bands=32, lsh_rows=1)
     rng = np.random.default_rng(5)
     sets = [rng.integers(-(2**62), 2**62, size=30).tolist() for _ in range(50)]
     df = spark.createDataFrame(

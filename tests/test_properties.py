@@ -46,7 +46,7 @@ def test_doc_features_position_independence(t, k):
 @given(st.lists(st.integers(-(2**62), 2**62), min_size=0, max_size=300),
        st.integers(0, 5))
 def test_oph_deterministic_and_shape(xs, seed):
-    cfg = DedupConfig(num_perm=64, seed=seed)
+    cfg = DedupConfig(num_perm=64, lsh_bands=64, lsh_rows=1, seed=seed)
     a, b = _coeffs(cfg.num_perm, cfg.seed)
     s = pd.Series([np.asarray(xs, dtype=np.int64)])
     r1 = _oph_batch(s, 64, a[0], b[0])
@@ -191,3 +191,20 @@ def test_empty_docs_cluster_identically_on_both_featurizations(spark):
         assert labels["x"] == labels["y"], f"fused={fused}"
         assert labels["e1"] != labels["x"], f"fused={fused}"
     assert got[True] == got[False]
+
+
+def test_config_rejects_degenerate_banding_and_winnowing():
+    """lsh_bands*lsh_rows > num_perm makes the out-of-range bands slice
+    an EMPTY signature segment — every doc buckets together for those
+    bands, silently; winnow_window > min_substr_len violates the
+    k_sa + w - 1 <= L winnowing guarantee. Both must fail fast."""
+    import pytest
+
+    from hsip.config import DedupConfig
+
+    with pytest.raises(ValueError, match="exceeds num_perm"):
+        DedupConfig(num_perm=64)  # default 32 bands x 4 rows = 128
+    with pytest.raises(ValueError, match="winnow_window"):
+        DedupConfig(min_substr_len=50)  # default winnow_window = 100
+    DedupConfig(num_perm=64, lsh_bands=16, lsh_rows=4)  # ok
+    DedupConfig(min_substr_len=100)  # k_sa = 1, boundary ok

@@ -46,7 +46,7 @@ def _clean_texts(spark, texts, min_len):
         [(k, v, "g0") for k, v in texts.items()],
         "doc_id string, text string, grp string",
     )
-    cfg = DedupConfig(min_substr_len=min_len)
+    cfg = DedupConfig(min_substr_len=min_len, winnow_window=min(min_len, 10))
     spans = removal_spans_within_groups(docs, "doc_id", "text", "grp", cfg)
     out = remove_spans(docs, "doc_id", "text",
                        spans.select(F.col("id"), "start", "end"))

@@ -107,7 +107,7 @@ def test_exact_substr_within_groups(spark):
     """Grouped-map suffix-array extractor finds cross-doc spans per group."""
     from hsip.suffixes import exact_substr_within_groups
 
-    cfg = DedupConfig(min_substr_len=30)
+    cfg = DedupConfig(min_substr_len=30, winnow_window=10)
     span = "this exact span is repeated across two documents verbatim"
     rows = [
         ("a1", "g1", "prefix one " + span + " suffix one"),
@@ -131,7 +131,7 @@ def test_exact_substr_group_byte_budget(spark):
     from hsip.suffixes import exact_substr_within_groups
 
     cfg = dataclasses.replace(
-        DedupConfig(min_substr_len=30), substr_group_byte_budget=200
+        DedupConfig(min_substr_len=30, winnow_window=10), substr_group_byte_budget=200
     )
     span = "this exact span is repeated across two documents verbatim"
     # one group far over the 200-byte budget -> ceil(bytes/200) sub-buckets
@@ -162,7 +162,7 @@ def test_exact_substr_group_byte_budget(spark):
     full = {
         (r.a, r.b)
         for r in exact_substr_within_groups(
-            df, "id", "text", "grp", DedupConfig(min_substr_len=30)
+            df, "id", "text", "grp", DedupConfig(min_substr_len=30, winnow_window=10)
         ).collect()
     }
     assert full - got, "budget did not actually split the group"

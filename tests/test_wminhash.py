@@ -103,7 +103,7 @@ def test_spark_matches_local_golden(spark, docs):
     """attach_weighted_minhash == _icws_batch over the JVM-hashed token
     arrays — pins the JVM/Python handoff (xxhash64 token hashing,
     normalization) to the kernel golden."""
-    cfg = DedupConfig(num_perm=32)
+    cfg = DedupConfig(num_perm=32, lsh_bands=32, lsh_rows=1)
     from hsip.normalize import norm_text_col, tokens_col
 
     toks = tokens_col(norm_text_col("text", cfg))
@@ -126,7 +126,7 @@ def test_spark_matches_local_golden(spark, docs):
 
 
 def test_spark_partition_invariance(spark, docs):
-    cfg = DedupConfig(num_perm=16)
+    cfg = DedupConfig(num_perm=16, lsh_bands=16, lsh_rows=1)
     one = {r["id"]: tuple(r["sig"])
            for r in attach_weighted_minhash(docs.coalesce(1), "doc_id", "text", cfg).collect()}
     many = {r["id"]: tuple(r["sig"])
