@@ -845,6 +845,37 @@ def doc_quality_scores(spark, sf_dir):
     )
 
 
+def doc_char_entropy(spark, sf_dir):
+    """Unigram character entropy per doc (hsip/textstats.py
+    char_entropy_col) — the cheap boilerplate/degenerate-text filter.
+    Zero-shuffle projection in Spark; DuckDB replicates the math via
+    unnest + groupBy (different summation order, hidden by round(6))."""
+    from hsip.textstats import char_entropy_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(char_entropy_col(_norm(F.col("text"))), 6).alias("char_entropy"),
+    )
+
+
+def cluster_bcubed_eval(spark, sf_dir):
+    """B-cubed cluster-vs-truth evaluation (hsip/recall.py
+    bcubed_scores) pinned cross-engine on a deterministic non-trivial
+    pair of clusterings: pred = source partition, truth = lang
+    partition (20 x 5 cross-cutting cells over the documents fixture).
+    Never materializes within-cluster pairs — item sums reduce to
+    Σ_cells ov²/|P| and Σ_cells ov²/|T|."""
+    from hsip.recall import bcubed_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(F.col("doc_id").alias("id"),
+                       F.col("source").alias("cluster_id"))
+    truth = docs.select(F.col("doc_id").alias("id"),
+                        F.col("lang").alias("cluster_id"))
+    return bcubed_scores(pred, truth)
+
+
 def doc_fingerprints(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fingerprint"))
@@ -1808,6 +1839,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": doc_stats,
         "lang_profile": lang_profile,
         "doc_quality_scores": doc_quality_scores,
+        "doc_char_entropy": doc_char_entropy,
+        "cluster_bcubed_eval": cluster_bcubed_eval,
         "doc_fingerprints": doc_fingerprints,
         "shingle_counts": shingle_counts,
         "doc_repetition_signals": doc_repetition_signals,
@@ -2611,6 +2644,43 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_chars >= 150 THEN 'medium'
                         ELSE 'short' END AS length_class
             FROM documents
+        """,
+        "doc_char_entropy": f"""
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split({norm_text}, '')) AS c
+                FROM documents
+            ), cnt AS (
+                SELECT doc_id, c, count(*)::BIGINT AS n
+                FROM ch WHERE c <> '' GROUP BY ALL
+            ), ent AS (
+                SELECT doc_id,
+                       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6)
+                           AS char_entropy
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(e.char_entropy, 0.0) AS char_entropy
+            FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+        """,
+        "cluster_bcubed_eval": """
+            WITH j AS (
+                SELECT doc_id AS id, source AS pc, lang AS tc FROM documents
+            ), cells AS (
+                SELECT pc, tc, count(*)::BIGINT AS ov FROM j GROUP BY ALL
+            ), ps AS (
+                SELECT pc, sum(ov)::BIGINT AS psz FROM cells GROUP BY pc
+            ), ts AS (
+                SELECT tc, sum(ov)::BIGINT AS tsz FROM cells GROUP BY tc
+            ), tot AS (
+                SELECT sum(ov)::BIGINT AS n,
+                       sum(ov * ov * 1.0 / psz) AS psum,
+                       sum(ov * ov * 1.0 / tsz) AS rsum
+                FROM cells JOIN ps USING (pc) JOIN ts USING (tc)
+            )
+            SELECT n AS n_items,
+                   round(psum / n, 6) AS bcubed_precision,
+                   round(rsum / n, 6) AS bcubed_recall,
+                   round(2 * psum * rsum / (n * (psum + rsum)), 6) AS bcubed_f1
+            FROM tot
         """,
         "doc_fingerprints": f"""
             SELECT doc_id, md5({norm_text}) AS fingerprint FROM documents

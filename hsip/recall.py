@@ -48,3 +48,51 @@ def evaluate_pairs(ours: DataFrame, truth: DataFrame) -> tuple[PairEval, DataFra
         n_truth=truth.count(), n_ours=ours.count(), n_hit=hit.count()
     )
     return ev, missed
+
+
+def bcubed_scores(pred: DataFrame, truth: DataFrame,
+                  id_col: str = "id",
+                  cluster_col: str = "cluster_id") -> DataFrame:
+    """B-cubed extrinsic cluster evaluation (Bagga & Baldwin '98; the
+    standard complement to pair recall for dedup clusterings — pair
+    metrics over-weight large clusters quadratically, B-cubed weights
+    every ITEM equally):
+
+        precision_i = |P(i) ∩ T(i)| / |P(i)|,  recall_i = ... / |T(i)|
+
+    averaged over items i shared by both tables (P/T = the item's
+    predicted/truth cluster). Returns ONE row: (n_items,
+    bcubed_precision, bcubed_recall, bcubed_f1); empty intersection
+    scores 1.0/1.0 by the same vacuous-truth convention as PairEval.
+
+    Scale shape: never materializes within-cluster pairs (the pair
+    tables cluster_pairs builds are quadratic in cluster size — exactly
+    what this metric exists to avoid). One inner join on item id, one
+    map-side-combining count per (pred, truth) cluster cell, two narrow
+    size joins keyed by cluster id, one global 3-double reduction:
+    Σ_cells ov²/|P| and Σ_cells ov²/|T| are the exact item sums because
+    every item in a cell contributes ov/|P| and ov/|T|.
+    """
+    p = pred.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("pc"))
+    t = truth.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("tc"))
+    cells = p.join(t, "id").groupBy("pc", "tc").agg(
+        F.count(F.lit(1)).alias("ov")
+    )
+    psize = cells.groupBy("pc").agg(F.sum("ov").alias("psz"))
+    tsize = cells.groupBy("tc").agg(F.sum("ov").alias("tsz"))
+    tot = (
+        cells.join(psize, "pc").join(tsize, "tc").agg(
+            F.sum("ov").alias("n"),
+            F.sum(F.col("ov") * F.col("ov") / F.col("psz")).alias("psum"),
+            F.sum(F.col("ov") * F.col("ov") / F.col("tsz")).alias("rsum"),
+        )
+    )
+    n, ps, rs = F.col("n"), F.col("psum"), F.col("rsum")
+    return tot.select(
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_items"),
+        F.round(F.coalesce(ps / n, F.lit(1.0)), 6).alias("bcubed_precision"),
+        F.round(F.coalesce(rs / n, F.lit(1.0)), 6).alias("bcubed_recall"),
+        F.round(
+            F.coalesce(F.lit(2.0) * ps * rs / (n * (ps + rs)), F.lit(1.0)), 6
+        ).alias("bcubed_f1"),
+    )

@@ -168,6 +168,40 @@ def doc_rolling_fingerprint(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def char_entropy_col(text: Column) -> Column:
+    """Unigram character entropy in bits/char — Shannon entropy of the
+    document's character distribution, H = log2(n) − (Σ c·log2 c)/n over
+    per-character counts c. Low values flag repetitive boilerplate and
+    degenerate generations (the cheap stand-in for the compression-ratio
+    filter in C4/Gopher-family pipelines); typical English prose sits
+    near ~4.1 bits. Empty/NULL text scores 0.0.
+
+    Pure projection: the counts come from per-row array ops
+    (array_distinct + filter + aggregate) inside whole-stage codegen —
+    zero shuffle, and the summation order is fixed by the row's own
+    first-occurrence character order, so the value is bit-deterministic
+    under any partitioning. CPU is O(alphabet × len) per row, the
+    deliberate trade against an explode+groupBy layout whose exchange
+    would carry one row per distinct char per doc. Characters are
+    UTF-16 code units (Spark's split("")); supplementary-plane
+    codepoints count as two units — irrelevant below U+10000.
+    """
+    chars = F.filter(F.split(text, ""), lambda c: c != F.lit(""))
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda d: F.size(F.filter(chars, lambda c: c == d)),
+    )
+    s = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    return F.when(
+        n > 0, F.log2(n.cast("double")) - s / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def _word_ngrams(toks: Column, k: int) -> Column:
     """Array of space-joined word k-grams of an already-split token array;
     empty array when the doc has fewer than k tokens (guards Spark's

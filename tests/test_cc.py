@@ -178,3 +178,73 @@ def test_nonconvergence_raises_instead_of_mislabeling(spark):
     # same edges converge fine with the default budget
     out = connected_components(chain, local_max_edges=0)
     assert out.select("cluster_id").distinct().count() == 1
+
+
+def test_bcubed_hand_example(spark):
+    """Bagga-Baldwin hand example: pred merges truth clusters {1,2} and
+    {3}; item-level precision/recall computed by hand."""
+    from hsip.recall import bcubed_scores
+
+    pred = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B")], "id int, cluster_id string"
+    )
+    truth = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "z")], "id int, cluster_id string"
+    )
+    r = bcubed_scores(pred, truth).collect()[0]
+    # precision: items 1,2 -> 2/3; item 3 -> 1/3; item 4 -> 1
+    #   = (2/3 + 2/3 + 1/3 + 1) / 4 = (8/3) / 4 = 2/3
+    # recall: items 1,2 -> 2/2; item 3 -> 1; item 4 -> 1  = 1.0
+    assert r.n_items == 4
+    assert abs(r.bcubed_precision - 2 / 3) < 1e-6
+    assert r.bcubed_recall == 1.0
+    p, rc = 2 / 3, 1.0
+    assert abs(r.bcubed_f1 - 2 * p * rc / (p + rc)) < 1e-6
+
+
+def test_bcubed_identical_perfect_and_python_oracle(spark):
+    """Identical clusterings score 1/1/1; random labelings match a
+    brute-force per-item python oracle; empty intersection -> vacuous 1.0."""
+    import random
+
+    from hsip.recall import bcubed_scores
+
+    rng = random.Random(7)
+    items = list(range(40))
+    pc = {i: rng.randrange(5) for i in items}
+    tc = {i: rng.randrange(4) for i in items}
+
+    def oracle():
+        ps, rs = 0.0, 0.0
+        for i in items:
+            P = {j for j in items if pc[j] == pc[i]}
+            T = {j for j in items if tc[j] == tc[i]}
+            ov = len(P & T)
+            ps += ov / len(P)
+            rs += ov / len(T)
+        return ps / len(items), rs / len(items)
+
+    pred = spark.createDataFrame(
+        [(i, str(pc[i])) for i in items], "id int, cluster_id string"
+    )
+    truth = spark.createDataFrame(
+        [(i, str(tc[i])) for i in items], "id int, cluster_id string"
+    )
+    r = bcubed_scores(pred, truth).collect()[0]
+    op, orc = oracle()
+    assert abs(r.bcubed_precision - op) < 1e-6
+    assert abs(r.bcubed_recall - orc) < 1e-6
+
+    same = bcubed_scores(pred, pred).collect()[0]
+    assert (same.bcubed_precision, same.bcubed_recall, same.bcubed_f1) == (
+        1.0, 1.0, 1.0,
+    )
+
+    other = spark.createDataFrame(
+        [(99, "q")], "id int, cluster_id string"
+    )
+    empty = bcubed_scores(pred, other).collect()[0]
+    assert empty.n_items == 0
+    assert (empty.bcubed_precision, empty.bcubed_recall, empty.bcubed_f1) == (
+        1.0, 1.0, 1.0,
+    )

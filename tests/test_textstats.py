@@ -179,3 +179,53 @@ def test_punct_ratio_unicode_and_mean_token_len_whitespace(spark):
         assert ours[k][0] == oracle[k][0], k
         assert abs(ours[k][1] - oracle[k][1]) < 1e-9, k
         assert ours[k][2:] == oracle[k][2:], k
+
+
+def test_char_entropy_known_values(spark):
+    """Hand-checkable entropies plus a python-oracle sweep."""
+    import collections
+    import math
+
+    from hsip.textstats import char_entropy_col
+
+    def oracle(s):
+        if not s:
+            return 0.0
+        cnt = collections.Counter(s)
+        n = len(s)
+        return -sum(c / n * math.log2(c / n) for c in cnt.values())
+
+    texts = ["aaaa", "ab", "abcd", "", "the quick brown fox jumps",
+             "aabbaabb  !!", "x" * 100 + "y"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    got = {
+        r.id: r.h
+        for r in df.select(
+            "id", char_entropy_col(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert got[0] == 0.0           # single symbol
+    assert abs(got[1] - 1.0) < 1e-9   # two equiprobable symbols = 1 bit
+    assert abs(got[2] - 2.0) < 1e-9   # four equiprobable symbols = 2 bits
+    assert got[3] == 0.0           # empty text scores 0 by convention
+    for i, t in enumerate(texts):
+        assert abs(got[i] - oracle(t)) < 1e-9, (i, t)
+
+
+def test_char_entropy_null_and_partition_invariance(spark):
+    from hsip.textstats import char_entropy_col
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "mississippi river basin")], "id int, text string"
+    )
+    sel = lambda d: {
+        r.id: r.h
+        for r in d.select(
+            "id", char_entropy_col(F.col("text")).alias("h")
+        ).collect()
+    }
+    got1, got7 = sel(df.coalesce(1)), sel(df.repartition(7))
+    assert got1[1] is None or got1[1] == 0.0  # NULL text: no crash
+    assert got1[2] == got7[2] > 0.0           # bit-deterministic per row
