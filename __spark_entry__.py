@@ -876,6 +876,21 @@ def cluster_bcubed_eval(spark, sf_dir):
     return bcubed_scores(pred, truth)
 
 
+def cluster_ari_eval(spark, sf_dir):
+    """Adjusted Rand Index (hsip/recall.py adjusted_rand) on the same
+    source-vs-lang clustering pair as cluster_bcubed_eval — the
+    chance-corrected companion metric, pinned cross-engine via the
+    identical contingency-cell algebra in DuckDB."""
+    from hsip.recall import adjusted_rand
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(F.col("doc_id").alias("id"),
+                       F.col("source").alias("cluster_id"))
+    truth = docs.select(F.col("doc_id").alias("id"),
+                        F.col("lang").alias("cluster_id"))
+    return adjusted_rand(pred, truth)
+
+
 def doc_fingerprints(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fingerprint"))
@@ -1841,6 +1856,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_scores": doc_quality_scores,
         "doc_char_entropy": doc_char_entropy,
         "cluster_bcubed_eval": cluster_bcubed_eval,
+        "cluster_ari_eval": cluster_ari_eval,
         "doc_fingerprints": doc_fingerprints,
         "shingle_counts": shingle_counts,
         "doc_repetition_signals": doc_repetition_signals,
@@ -2681,6 +2697,33 @@ def oracle_sql() -> dict[str, str]:
                    round(rsum / n, 6) AS bcubed_recall,
                    round(2 * psum * rsum / (n * (psum + rsum)), 6) AS bcubed_f1
             FROM tot
+        """,
+        "cluster_ari_eval": """
+            WITH j AS (
+                SELECT doc_id AS id, source AS pc, lang AS tc FROM documents
+            ), cells AS (
+                SELECT pc, tc, count(*)::BIGINT AS ov FROM j GROUP BY ALL
+            ), idx AS (
+                SELECT sum(ov)::BIGINT AS n,
+                       coalesce(sum(ov * (ov - 1) / 2.0), 0.0) AS idx
+                FROM cells
+            ), pp AS (
+                SELECT coalesce(sum(s * (s - 1) / 2.0), 0.0) AS pp
+                FROM (SELECT sum(ov)::BIGINT AS s FROM cells GROUP BY pc)
+            ), tt AS (
+                SELECT coalesce(sum(s * (s - 1) / 2.0), 0.0) AS tt
+                FROM (SELECT sum(ov)::BIGINT AS s FROM cells GROUP BY tc)
+            )
+            SELECT n AS n_items,
+                   round(CASE
+                       WHEN n < 2 THEN 1.0
+                       WHEN (pp + tt) / 2.0
+                            - pp * tt / (n * (n - 1.0) / 2.0) = 0 THEN 1.0
+                       ELSE (idx - pp * tt / (n * (n - 1.0) / 2.0))
+                            / ((pp + tt) / 2.0
+                               - pp * tt / (n * (n - 1.0) / 2.0))
+                   END, 6) AS ari
+            FROM idx, pp, tt
         """,
         "doc_fingerprints": f"""
             SELECT doc_id, md5({norm_text}) AS fingerprint FROM documents

@@ -96,3 +96,58 @@ def bcubed_scores(pred: DataFrame, truth: DataFrame,
             F.coalesce(F.lit(2.0) * ps * rs / (n * (ps + rs)), F.lit(1.0)), 6
         ).alias("bcubed_f1"),
     )
+
+
+def adjusted_rand(pred: DataFrame, truth: DataFrame,
+                  id_col: str = "id",
+                  cluster_col: str = "cluster_id") -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie '85) between a predicted and
+    a truth clustering — the chance-corrected pair-agreement metric,
+    B-cubed's standard companion: ~0 for independent clusterings, 1 for
+    identical ones, computed from the contingency cells alone:
+
+        ARI = (Σ C(ov,2) − E) / (½(Σ C(|P|,2) + Σ C(|T|,2)) − E),
+        E   = Σ C(|P|,2) · Σ C(|T|,2) / C(n,2)
+
+    Returns ONE row (n_items, ari); the degenerate zero-denominator
+    cases (both clusterings all-singleton or all-one-cluster) score 1.0
+    by the sklearn convention. Same scale shape as bcubed_scores: one
+    id join, per-cell counts, three 1-row aggregates cross-joined —
+    within-cluster pairs are never materialized. Pair counts are exact
+    in int64 through the per-cluster C(s,2) sums; the final products
+    run in float64 (C(n,2) itself overflows int64 past ~4.3e9 items,
+    where a metric is a diagnostic, not a hash target).
+    """
+    p = pred.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("pc"))
+    t = truth.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("tc"))
+    cells = p.join(t, "id").groupBy("pc", "tc").agg(
+        F.count(F.lit(1)).alias("ov")
+    )
+
+    def _pairs(c: F.Column) -> F.Column:
+        return F.sum((c * (c - F.lit(1))).cast("double") / F.lit(2.0))
+
+    idx = cells.agg(
+        F.coalesce(F.sum("ov"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(_pairs(F.col("ov")), F.lit(0.0)).alias("idx"),
+    )
+    pp = cells.groupBy("pc").agg(F.sum("ov").alias("s")).agg(
+        F.coalesce(_pairs(F.col("s")), F.lit(0.0)).alias("pp")
+    )
+    tt = cells.groupBy("tc").agg(F.sum("ov").alias("s")).agg(
+        F.coalesce(_pairs(F.col("s")), F.lit(0.0)).alias("tt")
+    )
+    j = idx.crossJoin(pp).crossJoin(tt)
+    n = F.col("n").cast("double")
+    tot = n * (n - F.lit(1.0)) / F.lit(2.0)
+    exp = F.col("pp") * F.col("tt") / tot
+    den = (F.col("pp") + F.col("tt")) / F.lit(2.0) - exp
+    return j.select(
+        F.col("n").alias("n_items"),
+        F.round(
+            F.when(F.col("n") < 2, F.lit(1.0))
+            .when(den == 0, F.lit(1.0))
+            .otherwise((F.col("idx") - exp) / den),
+            6,
+        ).alias("ari"),
+    )

@@ -248,3 +248,47 @@ def test_bcubed_identical_perfect_and_python_oracle(spark):
     assert (empty.bcubed_precision, empty.bcubed_recall, empty.bcubed_f1) == (
         1.0, 1.0, 1.0,
     )
+
+
+def test_adjusted_rand_python_oracle_and_edges(spark):
+    """ARI vs a brute-force contingency oracle; identical -> 1,
+    all-singleton degenerate -> 1, cross-cutting labelings ~ chance."""
+    import random
+    from math import comb
+
+    from hsip.recall import adjusted_rand
+
+    rng = random.Random(11)
+    items = list(range(60))
+    pc = {i: rng.randrange(6) for i in items}
+    tc = {i: rng.randrange(5) for i in items}
+
+    def oracle():
+        from collections import Counter
+
+        cells = Counter((pc[i], tc[i]) for i in items)
+        psz = Counter(pc[i] for i in items)
+        tsz = Counter(tc[i] for i in items)
+        idx = sum(comb(v, 2) for v in cells.values())
+        ppv = sum(comb(v, 2) for v in psz.values())
+        ttv = sum(comb(v, 2) for v in tsz.values())
+        tot = comb(len(items), 2)
+        exp = ppv * ttv / tot
+        den = (ppv + ttv) / 2 - exp
+        return (idx - exp) / den
+
+    mk = lambda m: spark.createDataFrame(
+        [(i, str(m[i])) for i in items], "id int, cluster_id string"
+    )
+    r = adjusted_rand(mk(pc), mk(tc)).collect()[0]
+    assert r.n_items == 60
+    assert abs(r.ari - oracle()) < 1e-6
+
+    same = adjusted_rand(mk(pc), mk(pc)).collect()[0]
+    assert same.ari == 1.0
+
+    singl = spark.createDataFrame(
+        [(i, str(i)) for i in items], "id int, cluster_id string"
+    )
+    degen = adjusted_rand(singl, singl).collect()[0]
+    assert degen.ari == 1.0  # zero-denominator convention

@@ -100,6 +100,17 @@ def test_redact_pii_is_pure_projection(spark):
     assert "EvalPython" not in p  # pure JVM regexp codegen
 
 
+def test_char_entropy_is_pure_projection(spark):
+    from pyspark.sql import functions as F
+
+    from hsip.textstats import char_entropy_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(docs.select("doc_id", char_entropy_col(F.col("text")).alias("h")))
+    assert shuffle_count(p) == 0, p
+    assert "EvalPython" not in p  # per-row array math in codegen
+
+
 # ---------------------------------------------------------------------------
 # Python boundaries: Arrow-batched only, never row-at-a-time (PLANS.md §4)
 # ---------------------------------------------------------------------------
