@@ -145,10 +145,17 @@ def _quality(spark, sf_dir: str, tres) -> dict:
     (the full-audit protocol of tools/channel_audit.py at a size that
     keeps the bench wall bounded; the sf0.1 audit remains the deep
     gate in pytest/tools)."""
+    from pyspark.sql import functions as F
+
     from hsip.audit import audit_channels
     from hsip.config import DedupConfig
     from hsip.fixtures.gen import gen_transcripts, to_spark, truth_pairs
-    from hsip.recall import cluster_pairs, evaluate_pairs
+    from hsip.recall import (
+        adjusted_rand,
+        bcubed_scores,
+        cluster_pairs,
+        evaluate_pairs,
+    )
 
     out: dict = {}
     gen = gen_transcripts(seed=42, n_base=N_BASE)
@@ -163,6 +170,27 @@ def _quality(spark, sf_dir: str, tres) -> dict:
         "our_pairs": ev.n_ours,
     }
     ours.unpersist(), tp.unpersist()
+
+    # cluster-LEVEL agreement vs planted truth (item-weighted B-cubed +
+    # chance-corrected ARI — recall.py): pair metrics over-weight big
+    # clusters quadratically, so these catch a different failure shape.
+    # hotband convs share boilerplate but are NOT duplicates (the same
+    # exclusion truth_pairs applies) -> singleton truth labels.
+    truth_labels = truth.select(
+        F.col("conv_id").alias("id"),
+        F.when(
+            F.col("dup_kind") == "hotband",
+            F.concat(F.lit("single_"), F.col("conv_id")),
+        ).otherwise(F.col("gt_cluster")).alias("cluster_id"),
+    )
+    bc = bcubed_scores(tres.clusters, truth_labels).collect()[0]
+    ar = adjusted_rand(tres.clusters, truth_labels).collect()[0]
+    out["transcript_e2e"].update(
+        bcubed_precision=bc.bcubed_precision,
+        bcubed_recall=bc.bcubed_recall,
+        bcubed_f1=bc.bcubed_f1,
+        ari=ar.ari,
+    )
 
     audit_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     if not os.path.isdir(audit_dir):
