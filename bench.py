@@ -174,14 +174,11 @@ def _quality(spark, sf_dir: str, tres) -> dict:
     # cluster-LEVEL agreement vs planted truth (item-weighted B-cubed +
     # chance-corrected ARI — recall.py): pair metrics over-weight big
     # clusters quadratically, so these catch a different failure shape.
-    # hotband convs share boilerplate but are NOT duplicates (the same
-    # exclusion truth_pairs applies) -> singleton truth labels.
+    # gt_cluster is already the right partition as-is: hotband convs
+    # (shared boilerplate, NOT duplicates) each carry their own conv_id
+    # as gt_cluster — singleton labels by construction (fixtures/gen.py).
     truth_labels = truth.select(
-        F.col("conv_id").alias("id"),
-        F.when(
-            F.col("dup_kind") == "hotband",
-            F.concat(F.lit("single_"), F.col("conv_id")),
-        ).otherwise(F.col("gt_cluster")).alias("cluster_id"),
+        F.col("conv_id").alias("id"), F.col("gt_cluster").alias("cluster_id")
     )
     bc = bcubed_scores(tres.clusters, truth_labels).collect()[0]
     ar = adjusted_rand(tres.clusters, truth_labels).collect()[0]

@@ -171,6 +171,16 @@ class DedupConfig:
                 "lane-locally (shiftright on one 64-bit lane), so the "
                 "width must divide 64 and be < 64"
             )
+        if self.lsh_bands < 1 or self.lsh_rows < 1:
+            # lsh_rows=0 slips past the product check below but builds
+            # every band from an EMPTY signature slice — the same
+            # one-global-bucket failure, silently; lsh_bands=0 is a
+            # silent zero-candidate recall collapse
+            raise ValueError(
+                f"lsh_bands = {self.lsh_bands}, lsh_rows = {self.lsh_rows}: "
+                "both must be >= 1 (0 rows hashes an empty slice per "
+                "band; 0 bands emits no candidates)"
+            )
         if self.lsh_bands * self.lsh_rows > self.num_perm:
             # band i slices sig[i*rows : (i+1)*rows]; past num_perm the
             # slice is EMPTY, so xxhash64(i, []) is a constant per band
@@ -180,6 +190,12 @@ class DedupConfig:
                 f"lsh_bands*lsh_rows = {self.lsh_bands * self.lsh_rows} "
                 f"exceeds num_perm = {self.num_perm}: bands past the "
                 "signature would bucket every doc together"
+            )
+        if self.winnow_window < 1:
+            raise ValueError(
+                f"winnow_window = {self.winnow_window}: must be >= 1 "
+                "(the winnowing selector picks the min fingerprint per "
+                "window; an empty window selects nothing)"
             )
         if self.substr_gram < 1:
             raise ValueError(

@@ -64,6 +64,10 @@ def bcubed_scores(pred: DataFrame, truth: DataFrame,
     predicted/truth cluster). Returns ONE row: (n_items,
     bcubed_precision, bcubed_recall, bcubed_f1); empty intersection
     scores 1.0/1.0 by the same vacuous-truth convention as PairEval.
+    Items whose label is NULL in EITHER table are excluded from the
+    intersection (partial ground truth), and n_items reports the
+    post-exclusion count — the same rule adjusted_rand applies, so the
+    two metrics always agree on the evaluated item set.
 
     Scale shape: never materializes within-cluster pairs (the pair
     tables cluster_pairs builds are quadratic in cluster size — exactly
@@ -73,11 +77,7 @@ def bcubed_scores(pred: DataFrame, truth: DataFrame,
     Σ_cells ov²/|P| and Σ_cells ov²/|T| are the exact item sums because
     every item in a cell contributes ov/|P| and ov/|T|.
     """
-    p = pred.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("pc"))
-    t = truth.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("tc"))
-    cells = p.join(t, "id").groupBy("pc", "tc").agg(
-        F.count(F.lit(1)).alias("ov")
-    )
+    cells = _label_cells(pred, truth, id_col, cluster_col)
     psize = cells.groupBy("pc").agg(F.sum("ov").alias("psz"))
     tsize = cells.groupBy("tc").agg(F.sum("ov").alias("tsz"))
     tot = (
@@ -98,6 +98,23 @@ def bcubed_scores(pred: DataFrame, truth: DataFrame,
     )
 
 
+def _label_cells(pred: DataFrame, truth: DataFrame,
+                 id_col: str, cluster_col: str) -> DataFrame:
+    """Contingency cells (pc, tc, ov) over items labeled non-NULL in
+    BOTH tables — the shared item-set rule of bcubed_scores and
+    adjusted_rand (NULL = unlabeled, excluded; without the explicit
+    filter the two metrics would diverge silently: equi-joins on cell
+    keys drop NULLs while groupBy keeps them as a pseudo-cluster)."""
+    p = pred.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("pc"))
+    t = truth.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("tc"))
+    return (
+        p.filter(F.col("pc").isNotNull())
+        .join(t.filter(F.col("tc").isNotNull()), "id")
+        .groupBy("pc", "tc")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+
+
 def adjusted_rand(pred: DataFrame, truth: DataFrame,
                   id_col: str = "id",
                   cluster_col: str = "cluster_id") -> DataFrame:
@@ -111,18 +128,15 @@ def adjusted_rand(pred: DataFrame, truth: DataFrame,
 
     Returns ONE row (n_items, ari); the degenerate zero-denominator
     cases (both clusterings all-singleton or all-one-cluster) score 1.0
-    by the sklearn convention. Same scale shape as bcubed_scores: one
+    by the sklearn convention. NULL labels in either table exclude the
+    item, exactly as in bcubed_scores (shared _label_cells rule). Same scale shape as bcubed_scores: one
     id join, per-cell counts, three 1-row aggregates cross-joined —
     within-cluster pairs are never materialized. Pair counts are exact
     in int64 through the per-cluster C(s,2) sums; the final products
     run in float64 (C(n,2) itself overflows int64 past ~4.3e9 items,
     where a metric is a diagnostic, not a hash target).
     """
-    p = pred.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("pc"))
-    t = truth.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("tc"))
-    cells = p.join(t, "id").groupBy("pc", "tc").agg(
-        F.count(F.lit(1)).alias("ov")
-    )
+    cells = _label_cells(pred, truth, id_col, cluster_col)
 
     def _pairs(c: F.Column) -> F.Column:
         return F.sum((c * (c - F.lit(1))).cast("double") / F.lit(2.0))

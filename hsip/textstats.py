@@ -176,26 +176,57 @@ def char_entropy_col(text: Column) -> Column:
     filter in C4/Gopher-family pipelines); typical English prose sits
     near ~4.1 bits. Empty/NULL text scores 0.0.
 
-    Pure projection: the counts come from per-row array ops
-    (array_distinct + filter + aggregate) inside whole-stage codegen —
+    Pure projection: per-row array ops inside whole-stage codegen —
     zero shuffle, and the summation order is fixed by the row's own
-    first-occurrence character order, so the value is bit-deterministic
-    under any partitioning. CPU is O(alphabet × len) per row, the
-    deliberate trade against an explode+groupBy layout whose exchange
-    would carry one row per distinct char per doc. Characters are
-    UTF-16 code units (Spark's split("")); supplementary-plane
-    codepoints count as two units — irrelevant below U+10000.
+    sorted character order, so the value is bit-deterministic under any
+    partitioning. Counts come from a run-length scan of the SORTED char
+    array (one aggregate() pass with a (prev, run, sum) accumulator),
+    so per-row CPU is O(len log len) regardless of alphabet size — a
+    distinct-chars × len nested scan would invert the zero-shuffle
+    trade on large-alphabet (CJK) documents, where thousands of
+    distinct chars × the doc length dwarf the explode+groupBy exchange
+    this avoids. Characters are codepoints (Java's empty-pattern split
+    advances per code point, surrogate pairs stay intact), matching
+    DuckDB's string_split(x, '') — verified for supplementary-plane
+    input.
     """
-    chars = F.filter(F.split(text, ""), lambda c: c != F.lit(""))
+    chars = F.array_sort(F.filter(F.split(text, ""), lambda c: c != F.lit("")))
     n = F.size(chars)
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda d: F.size(F.filter(chars, lambda c: c == d)),
-    )
+
+    # Σ run·log2(run) over equal-char runs: flush the running count into
+    # the partial sum at every char boundary, then once more at finish
+    run_log = F.lit(0.0)
+
+    def _flush(run: Column) -> Column:
+        return F.when(
+            run > 0, run.cast("double") * F.log2(run.cast("double"))
+        ).otherwise(run_log)
+
+    def _merge(acc: Column, c: Column) -> Column:
+        return F.when(
+            c == acc["prev"],
+            F.struct(
+                c.alias("prev"),
+                (acc["run"] + F.lit(1)).alias("run"),
+                acc["s"].alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                c.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (acc["s"] + _flush(acc["run"])).alias("s"),
+            )
+        )
+
     s = F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+        chars,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        _merge,
+        lambda acc: acc["s"] + _flush(acc["run"]),
     )
     return F.when(
         n > 0, F.log2(n.cast("double")) - s / n.cast("double")

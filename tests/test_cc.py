@@ -292,3 +292,26 @@ def test_adjusted_rand_python_oracle_and_edges(spark):
     )
     degen = adjusted_rand(singl, singl).collect()[0]
     assert degen.ari == 1.0  # zero-denominator convention
+
+
+def test_cluster_metrics_null_labels_excluded_consistently(spark):
+    """NULL labels (partial ground truth) exclude the item from BOTH
+    metrics, which must agree on n_items — without the shared filter,
+    equi-joins drop NULL cells in B-cubed while groupBy keeps them as a
+    pseudo-cluster in ARI."""
+    from hsip.recall import adjusted_rand, bcubed_scores
+
+    pred = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "B")], "id int, cluster_id string"
+    )
+    truth = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, None), (4, "y")], "id int, cluster_id string"
+    )
+    bc = bcubed_scores(pred, truth).collect()[0]
+    ar = adjusted_rand(pred, truth).collect()[0]
+    assert bc.n_items == 3 == ar.n_items
+    # over items {1,2,4}: precision 1,2 -> 2/2; 4 -> 1/2 (its pred
+    # cluster B has 2 members post-join? no: cells only count labeled
+    # items, so B covers item 4 alone) -> all 1.0
+    assert bc.bcubed_precision == 1.0 and bc.bcubed_recall == 1.0
+    assert ar.ari == 1.0

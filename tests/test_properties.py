@@ -206,5 +206,12 @@ def test_config_rejects_degenerate_banding_and_winnowing():
         DedupConfig(num_perm=64)  # default 32 bands x 4 rows = 128
     with pytest.raises(ValueError, match="winnow_window"):
         DedupConfig(min_substr_len=50)  # default winnow_window = 100
+
+    with pytest.raises(ValueError, match="both must be >= 1"):
+        DedupConfig(num_perm=64, lsh_bands=32, lsh_rows=0)
+    with pytest.raises(ValueError, match="both must be >= 1"):
+        DedupConfig(num_perm=64, lsh_bands=0, lsh_rows=1)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        DedupConfig(min_substr_len=100, winnow_window=0)
     DedupConfig(num_perm=64, lsh_bands=16, lsh_rows=4)  # ok
     DedupConfig(min_substr_len=100)  # k_sa = 1, boundary ok

@@ -196,7 +196,11 @@ def test_char_entropy_known_values(spark):
         return -sum(c / n * math.log2(c / n) for c in cnt.values())
 
     texts = ["aaaa", "ab", "abcd", "", "the quick brown fox jumps",
-             "aabbaabb  !!", "x" * 100 + "y"]
+             "aabbaabb  !!", "x" * 100 + "y",
+             # large-alphabet + supplementary-plane coverage: the
+             # run-length kernel is alphabet-independent and split("")
+             # keeps surrogate pairs intact (codepoint semantics)
+             "\u4f60\u597d\u4e16\u754c\u4f60\u597d", "\U0001F600\U0001F600a"]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "id int, text string"
     )
