@@ -374,6 +374,28 @@ def events_user_gaps(spark, sf_dir):
     )
 
 
+def events_zorder_keys(spark, sf_dir):
+    """Morton (Z-order) clustering keys (hsip/catalog.py zbucket +
+    zorder_key) over (user_id, epoch-day) — the storage-layout key that
+    keeps per-file min/max stats tight on BOTH columns for multi-column
+    file skipping at 100-TB scale. Exact integer arithmetic end-to-end,
+    so DuckDB replicates the bit interleave value-for-value with
+    //, &, <<, |. Fixed [lo, hi] grid bounds (not data-derived) keep
+    the oracle deterministic."""
+    from hsip.catalog import zbucket, zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+    return ev.select(
+        "event_id",
+        zorder_key(
+            [zbucket(F.col("user_id"), 0, 1023, 8),
+             zbucket(day, 19600, 20623, 8)],
+            8,
+        ).alias("zkey"),
+    )
+
+
 def events_burst_pairs(spark, sf_dir):
     """Range join: same-user event pairs within 60 seconds (Q9 theta join)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
@@ -1832,6 +1854,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": events_json_extract,
         "events_user_gaps": events_user_gaps,
         "events_burst_pairs": events_burst_pairs,
+        "events_zorder_keys": events_zorder_keys,
         "events_type_map_profile": events_type_map_profile,
         "events_sessionization": events_sessionization,
         # documents / text analysis / dedup oracles
@@ -2697,6 +2720,28 @@ def oracle_sql() -> dict[str, str]:
                    round(rsum / n, 6) AS bcubed_recall,
                    round(2 * psum * rsum / (n * (psum + rsum)), 6) AS bcubed_f1
             FROM tot
+        """,
+        "events_zorder_keys": """
+            WITH b AS (
+                SELECT event_id,
+                       greatest(0, least(255, (user_id * 256) // 1024))
+                           AS ub,
+                       greatest(0, least(255,
+                           (((CAST(ts AS DATE) - DATE '1970-01-01')
+                             - 19600) * 256) // 1024)) AS db
+                FROM events
+            )
+            SELECT event_id,
+                   ( (((ub >> 0) & 1) << 0)  | (((db >> 0) & 1) << 1)
+                   | (((ub >> 1) & 1) << 2)  | (((db >> 1) & 1) << 3)
+                   | (((ub >> 2) & 1) << 4)  | (((db >> 2) & 1) << 5)
+                   | (((ub >> 3) & 1) << 6)  | (((db >> 3) & 1) << 7)
+                   | (((ub >> 4) & 1) << 8)  | (((db >> 4) & 1) << 9)
+                   | (((ub >> 5) & 1) << 10) | (((db >> 5) & 1) << 11)
+                   | (((ub >> 6) & 1) << 12) | (((db >> 6) & 1) << 13)
+                   | (((ub >> 7) & 1) << 14) | (((db >> 7) & 1) << 15)
+                   )::BIGINT AS zkey
+            FROM b
         """,
         "cluster_ari_eval": """
             WITH j AS (

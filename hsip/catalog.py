@@ -31,7 +31,55 @@ import time
 import uuid
 from collections import defaultdict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zbucket(col: Column, lo: int, hi: int, bits: int) -> Column:
+    """Map a numeric column from the [lo, hi] value range onto the
+    [0, 2**bits) grid — the bucketing step feeding ``zorder_key``.
+    Exact integer arithmetic (``(v-lo)*2^bits div span``, clamped), so
+    DuckDB replicates it value-for-value with ``//``; the float path
+    would round differently at cell edges. Out-of-range values clamp to
+    the edge cells. Timestamps: convert to an integer unit (epoch
+    day/hour) first — the caller picks the granularity that matters
+    for skipping."""
+    span = hi - lo + 1
+    cells = 1 << bits
+    num = (col.cast("long") - F.lit(lo)) * F.lit(cells)
+    # exact long division: subtract the remainder, then the double
+    # division is exact (quotient < 2^bits << 2^53)
+    q = ((num - F.pmod(num, F.lit(span))) / F.lit(span)).cast("long")
+    return F.greatest(F.lit(0), F.least(F.lit(cells - 1), q))
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    already-bucketed, non-negative column (``zbucket`` output) into one
+    bigint. Sorting by this key clusters rows so every file covers a
+    small HYPER-RECTANGLE of the key space — per-file min/max footer
+    stats stay tight on EVERY interleaved dimension at once, where a
+    lexicographic sort_by gives tight stats only on its leading column.
+    This is what Iceberg's ``rewrite_data_files(strategy=>'sort',
+    sort_order=>'zorder(...)')`` does natively; the parquet fallback
+    computes the key explicitly and rides the same range-cluster write
+    path. Pure codegen bit arithmetic — k×bits OR terms, zero Python,
+    zero shuffle beyond the range exchange the write already does."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder_key needs >= 2 columns (use sort_by for 1)")
+    if k * bits > 63:
+        raise ValueError(
+            f"{k} cols x {bits} bits = {k * bits} interleaved bits "
+            "exceed a signed 64-bit key; lower zorder_bits"
+        )
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * k + j))
+    return key
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another commit landed on this table between append start and
@@ -128,7 +176,9 @@ class Catalog:
               meta: dict | None = None,
               partition_by: list[str] | None = None,
               sort_by: list[str] | None = None,
-              evolve_schema: bool = False) -> None:
+              evolve_schema: bool = False,
+              zorder_by: list[str] | None = None,
+              zorder_bits: int = 16) -> None:
         """``partition_by`` lays the table out hive-partitioned on those
         columns (Iceberg: identity partition transform at create; parquet
         fallback: writer partitionBy). Readers filtering on a partition
@@ -154,7 +204,49 @@ class Catalog:
         and the table is marked schema-merging: Iceberg unions the
         schemas natively (mergeSchema write option); the fallback
         records a manifest flag so read() scans with mergeSchema=true
-        (absent columns null-fill — the standard evolution semantics)."""
+        (absent columns null-fill — the standard evolution semantics).
+
+        ``zorder_by`` (mutually exclusive with sort_by) Morton-clusters
+        the data on >= 2 numeric columns so per-file min/max stats stay
+        tight on EVERY listed column at once — point/range predicates on
+        ANY of them skip files, where sort_by only serves its leading
+        column. Column value bounds come from one metadata-scale min/max
+        aggregation over the write (2k driver scalars); each column is
+        bucketed onto a 2^zorder_bits grid and the interleaved key
+        drives the same repartitionByRange + sortWithinPartitions
+        layout. On Iceberg the snapshot written HERE is z-clustered the
+        same way; ongoing maintenance re-clustering uses
+        ``compact(ident, zorder_by=...)`` -> the native
+        rewrite_data_files zorder strategy (WRITE ORDERED BY cannot
+        express interleaving)."""
+        if zorder_by:
+            if sort_by:
+                raise ValueError("zorder_by and sort_by are mutually "
+                                 "exclusive (one physical order per table)")
+            if len(zorder_by) < 2:
+                raise ValueError("zorder_by needs >= 2 columns — use "
+                                 "sort_by for single-column clustering")
+            bounds = df.agg(*[
+                f(c).cast("long").alias(f"{n}_{c}")
+                for c in zorder_by for f, n in ((F.min, "lo"), (F.max, "hi"))
+            ]).collect()[0]
+            zcols = []
+            for c in zorder_by:
+                lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+                if lo is None or hi is None or lo == hi:
+                    # empty input or constant column: degenerate single
+                    # cell (the key still interleaves the other columns)
+                    zcols.append(F.lit(0).cast("long"))
+                else:
+                    zcols.append(zbucket(F.col(c), lo, hi, zorder_bits))
+            df = (
+                df.withColumn("__zkey", zorder_key(zcols, zorder_bits))
+                .repartitionByRange(
+                    self.spark.sparkContext.defaultParallelism, "__zkey"
+                )
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
         if sort_by:
             # range-cluster the data we are writing NOW, on both paths:
             # Iceberg's ALTER ... WRITE ORDERED BY below only governs
@@ -175,8 +267,6 @@ class Catalog:
             else:
                 w = df.writeTo(full)
                 if partition_by:
-                    from pyspark.sql import functions as F
-
                     w = w.partitionedBy(*[F.col(c) for c in partition_by])
                 for k, v in (meta or {}).items():
                     # carried as Iceberg table properties so checkpoint
@@ -191,13 +281,16 @@ class Catalog:
             return
         with self._lock(ident):
             self._write_parquet_locked(df, ident, mode, meta, partition_by,
-                                       sort_by, evolve_schema)
+                                       sort_by, evolve_schema,
+                                       zorder_by, zorder_bits)
 
     def _write_parquet_locked(self, df: DataFrame, ident: str, mode: str,
                               meta: dict | None,
                               partition_by: list[str] | None,
                               sort_by: list[str] | None = None,
-                              evolve_schema: bool = False) -> None:
+                              evolve_schema: bool = False,
+                              zorder_by: list[str] | None = None,
+                              zorder_bits: int = 16) -> None:
         base = self._path(ident)
         base_snapshot = None
         merge_schema = False
@@ -271,6 +364,9 @@ class Catalog:
             man["partition_by"] = partition_by
         if sort_by:
             man["sort_by"] = sort_by
+        if zorder_by:
+            man["zorder_by"] = zorder_by
+            man["zorder_bits"] = zorder_bits
         if merge_schema:
             man["merge_schema"] = True
         if mode == "append" and os.path.exists(base):
@@ -387,7 +483,8 @@ class Catalog:
                    partition_by=man.get("partition_by"),
                    sort_by=man.get("sort_by"))
 
-    def compact(self, ident: str, target_files: int = 0) -> None:
+    def compact(self, ident: str, target_files: int = 0,
+                zorder_by: list[str] | None = None) -> None:
         """Small-file compaction. Streaming appends and incremental
         merges accrete part files; scans then pay per-file open/footer
         costs that dwarf the data read (the classic 100-TB "millions of
@@ -396,14 +493,36 @@ class Catalog:
         table's target file size, commits one snapshot). Parquet
         fallback: read + repartition(``target_files``, default
         defaultParallelism) + overwrite — meta and hive layout preserved
-        from the live manifest, committed via the same tmp+rename."""
+        from the live manifest, committed via the same tmp+rename.
+
+        ``zorder_by`` re-clusters while compacting: Iceberg dispatches
+        the native zorder sort strategy; the fallback rewrites through
+        ``write(zorder_by=...)``. A fallback table WRITTEN with
+        zorder_by keeps its clustering on plain compaction (the live
+        manifest remembers the columns), mirroring how sort_by tables
+        re-cluster."""
         if self.iceberg_catalog:
-            self.spark.sql(
-                f"CALL {self.iceberg_catalog}.system.rewrite_data_files("
-                f"table => '{ident}')"
-            )
+            if zorder_by:
+                self.spark.sql(
+                    f"CALL {self.iceberg_catalog}.system.rewrite_data_files("
+                    f"table => '{ident}', strategy => 'sort', "
+                    f"sort_order => 'zorder({', '.join(zorder_by)})')"
+                )
+            else:
+                self.spark.sql(
+                    f"CALL {self.iceberg_catalog}.system.rewrite_data_files("
+                    f"table => '{ident}')"
+                )
             return
         man = self.manifest(ident)
+        zcols = zorder_by or man.get("zorder_by")
+        if zcols:
+            self.write(self.read(ident), ident, mode="overwrite",
+                       meta=man.get("meta"),
+                       partition_by=man.get("partition_by"),
+                       zorder_by=zcols,
+                       zorder_bits=man.get("zorder_bits", 16))
+            return
         sort_by = man.get("sort_by")
         if sort_by:
             # sort-clustered table: write() re-range-partitions on the

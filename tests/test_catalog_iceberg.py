@@ -182,3 +182,11 @@ def test_evolving_append_sets_merge_schema_option():
     cat.write(df2, "t.ev", mode="append")
     df2.writeTo.return_value.option.assert_not_called()
     df2.writeTo.return_value.append.assert_called_once()
+
+
+def test_zorder_compact_dispatches_zorder_sort_strategy():
+    spark, cat = _cat()
+    cat.compact("t.z", zorder_by=["user_id", "day"])
+    spark.sql.assert_called_once_with(
+        "CALL ice.system.rewrite_data_files(table => 't.z', "
+        "strategy => 'sort', sort_order => 'zorder(user_id, day)')")

@@ -292,3 +292,108 @@ def test_compact_preserves_sort_clustering(spark, tmp_path):
         assert hi1 <= lo2, f"compaction destroyed clustering: {rs}"
     assert sorted(r["v"] for r in cat.read("t.cs").collect()) \
         == sorted(range(0, 2000))
+
+
+def test_zorder_key_matches_python_oracle(spark):
+    """Morton interleave == bit-twiddling python oracle, including the
+    zbucket exact-integer grid mapping."""
+    from hsip.catalog import zbucket, zorder_key
+
+    def py_zkey(vals, bits):
+        key = 0
+        for b in range(bits):
+            for j, v in enumerate(vals):
+                key |= ((v >> b) & 1) << (b * len(vals) + j)
+        return key
+
+    def py_bucket(v, lo, hi, bits):
+        q = ((v - lo) * (1 << bits)) // (hi - lo + 1)
+        return max(0, min((1 << bits) - 1, q))
+
+    rows = [(i, (i * 37) % 1000, (i * 91) % 513 - 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "id int, x long, y long")
+    got = {
+        r.id: r.k
+        for r in df.select(
+            "id",
+            zorder_key(
+                [zbucket(F.col("x"), 0, 999, 8),
+                 zbucket(F.col("y"), -7, 505, 8)],
+                8,
+            ).alias("k"),
+        ).collect()
+    }
+    for i, x, y in rows:
+        exp = py_zkey([py_bucket(x, 0, 999, 8), py_bucket(y, -7, 505, 8)], 8)
+        assert got[i] == exp, (i, x, y)
+
+
+def test_zorder_write_bounds_every_listed_dim(spark, tmp_path):
+    """zorder_by enables file skipping on EVERY listed column: a
+    predicate on y alone prunes z-clustered files by footer stats,
+    while the lexicographic sort_by control cannot skip on y at all
+    (every file spans the full y domain). Compaction preserves the
+    clustering via the manifest. Assertions use min/max skipping
+    semantics, not per-file spans — repartitionByRange samples its
+    boundaries, so spans are ragged by design."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hsip.catalog import Catalog
+
+    def rects(ident):
+        data = os.path.join(str(tmp_path / "wh"), *ident.split("."), "data")
+        out = []
+        for fn in glob.glob(os.path.join(data, "*.parquet")):
+            t = pq.read_table(fn, columns=["x", "y"])
+            if t.num_rows:
+                xs, ys = t["x"].to_pylist(), t["y"].to_pylist()
+                out.append((min(xs), max(xs), min(ys), max(ys)))
+        return out
+
+    # 64x64 grid, one row per cell, row order decorrelated from both dims
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 2654435761) % 64).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.write(grid, "t.z", zorder_by=["x", "y"], zorder_bits=6)
+    man = cat.manifest("t.z")
+    assert man.get("zorder_by") == ["x", "y"] and man.get("zorder_bits") == 6
+
+    def skippable(rs, pred_lo):
+        # files a scan with predicate y >= pred_lo can SKIP on stats
+        return sum(1 for _xl, _xh, _yl, yh in rs if yh < pred_lo)
+
+    rz = rects("t.z")
+    assert len(rz) >= 4
+    # y's top bit is the z-key's top bit, so the low-key files hold
+    # y < 32 exclusively -> a y >= 48 scan skips them on footer stats
+    assert skippable(rz, 48) >= 1, rz
+    # ...and symmetric pruning at the other end (y < 16 scans)
+    assert sum(1 for _xl, _xh, yl, _yh in rz if yl >= 16) >= 1, rz
+
+    cat.write(grid, "t.lex", sort_by=["x"])
+    rl = rects("t.lex")
+    # the control is tight on x but NO file is skippable on y: each
+    # spans ~the entire y domain
+    assert all(xh - xl <= 40 for xl, xh, _yl, _yh in rl), rl
+    assert skippable(rl, 48) == 0, rl
+    assert all(yl <= 5 and yh >= 58 for _xl, _xh, yl, yh in rl), rl
+
+    # row set unchanged, and compaction re-clusters from the manifest
+    before = sorted((r.x, r.y) for r in cat.read("t.z").collect())
+    cat.compact("t.z")
+    assert sorted((r.x, r.y) for r in cat.read("t.z").collect()) == before
+    assert skippable(rects("t.z"), 48) >= 1
+
+    # guard rails
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        cat.write(grid, "t.bad", zorder_by=["x", "y"], sort_by=["x"])
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        cat.write(grid, "t.bad", zorder_by=["x"])
