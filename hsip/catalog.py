@@ -46,6 +46,14 @@ def zbucket(col: Column, lo: int, hi: int, bits: int) -> Column:
     for skipping."""
     span = hi - lo + 1
     cells = 1 << bits
+    if span * cells >= 1 << 62:
+        # (col-lo)*cells would overflow int64 (ANSI mode: runtime error
+        # mid-write) — pre-bucket the column to a coarser unit first
+        raise ValueError(
+            f"zbucket: span {span} x 2^{bits} cells overflows int64 — "
+            "map the column to a coarser integer unit (epoch day/hour, "
+            "id>>k) before bucketing"
+        )
     num = (col.cast("long") - F.lit(lo)) * F.lit(cells)
     # exact long division: subtract the remainder, then the double
     # division is exact (quotient < 2^bits << 2^53)

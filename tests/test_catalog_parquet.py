@@ -397,3 +397,15 @@ def test_zorder_write_bounds_every_listed_dim(spark, tmp_path):
         cat.write(grid, "t.bad", zorder_by=["x", "y"], sort_by=["x"])
     with pytest.raises(ValueError, match=">= 2 columns"):
         cat.write(grid, "t.bad", zorder_by=["x"])
+
+
+def test_zbucket_overflow_guard():
+    """A span x cells product that would overflow int64 fails fast at
+    plan time instead of erroring mid-write under ANSI mode."""
+    import pytest
+
+    from hsip.catalog import zbucket
+
+    with pytest.raises(ValueError, match="overflows int64"):
+        zbucket(F.lit(0), 0, (1 << 47), 16)
+    zbucket(F.lit(0), 0, (1 << 45) - 1, 16)  # under the line: fine
