@@ -38,27 +38,34 @@ from pyspark.sql import functions as F
 def zbucket(col: Column, lo: int, hi: int, bits: int) -> Column:
     """Map a numeric column from the [lo, hi] value range onto the
     [0, 2**bits) grid — the bucketing step feeding ``zorder_key``.
-    Exact integer arithmetic (``(v-lo)*2^bits div span``, clamped), so
-    DuckDB replicates it value-for-value with ``//``; the float path
-    would round differently at cell edges. Out-of-range values clamp to
-    the edge cells. Timestamps: convert to an integer unit (epoch
-    day/hour) first — the caller picks the granularity that matters
-    for skipping."""
+    Exact integer arithmetic (``(v-lo)*2^bits div span`` after clamping
+    v into [lo, hi]), so DuckDB replicates it value-for-value with
+    ``//``; the float path would round differently at cell edges.
+    Out-of-range values clamp to the edge cells BEFORE the multiply —
+    clamping the quotient instead would let a stray sentinel value
+    overflow the product (ANSI: mid-job error; legacy: wraparound that
+    lands the LARGEST values in bucket 0). Timestamps: convert to an
+    integer unit (epoch day/hour) first — the caller picks the
+    granularity that matters for skipping."""
     span = hi - lo + 1
     cells = 1 << bits
-    if span * cells >= 1 << 62:
-        # (col-lo)*cells would overflow int64 (ANSI mode: runtime error
-        # mid-write) — pre-bucket the column to a coarser unit first
+    if span * cells >= 1 << 53:
+        # (v-lo)*cells must stay under 2^53: the quotient is extracted
+        # through one exactly-divisible double division, which is only
+        # exact while the numerator fits a double's mantissa — beyond
+        # it, binade-edge cells round down one bucket and the DuckDB
+        # ``//`` parity breaks. Pre-bucket to a coarser unit instead.
         raise ValueError(
-            f"zbucket: span {span} x 2^{bits} cells overflows int64 — "
-            "map the column to a coarser integer unit (epoch day/hour, "
-            "id>>k) before bucketing"
+            f"zbucket: span {span} x 2^{bits} cells exceeds the 2^53 "
+            "exact-arithmetic bound — map the column to a coarser "
+            "integer unit (epoch day/hour, id>>k) before bucketing"
         )
-    num = (col.cast("long") - F.lit(lo)) * F.lit(cells)
+    v = F.greatest(F.lit(lo), F.least(F.lit(hi), col.cast("long")))
+    num = (v - F.lit(lo)) * F.lit(cells)
     # exact long division: subtract the remainder, then the double
-    # division is exact (quotient < 2^bits << 2^53)
-    q = ((num - F.pmod(num, F.lit(span))) / F.lit(span)).cast("long")
-    return F.greatest(F.lit(0), F.least(F.lit(cells - 1), q))
+    # division is exact (numerator < 2^53 by the guard above); the
+    # clamped input already bounds the quotient to [0, cells-1]
+    return ((num - F.pmod(num, F.lit(span))) / F.lit(span)).cast("long")
 
 
 def zorder_key(cols: list[Column], bits: int = 16) -> Column:
@@ -227,6 +234,7 @@ class Catalog:
         ``compact(ident, zorder_by=...)`` -> the native
         rewrite_data_files zorder strategy (WRITE ORDERED BY cannot
         express interleaving)."""
+        zsrc = None
         if zorder_by:
             if sort_by:
                 raise ValueError("zorder_by and sort_by are mutually "
@@ -234,7 +242,11 @@ class Catalog:
             if len(zorder_by) < 2:
                 raise ValueError("zorder_by needs >= 2 columns — use "
                                  "sort_by for single-column clustering")
-            bounds = df.agg(*[
+            # persist the input across the TWO actions this path runs
+            # (bounds agg + the write itself) — without it a computed
+            # DataFrame's whole upstream lineage executes twice
+            zsrc = df.persist()
+            bounds = zsrc.agg(*[
                 f(c).cast("long").alias(f"{n}_{c}")
                 for c in zorder_by for f, n in ((F.min, "lo"), (F.max, "hi"))
             ]).collect()[0]
@@ -248,13 +260,28 @@ class Catalog:
                 else:
                     zcols.append(zbucket(F.col(c), lo, hi, zorder_bits))
             df = (
-                df.withColumn("__zkey", zorder_key(zcols, zorder_bits))
+                zsrc.withColumn("__zkey", zorder_key(zcols, zorder_bits))
                 .repartitionByRange(
                     self.spark.sparkContext.defaultParallelism, "__zkey"
                 )
                 .sortWithinPartitions("__zkey")
                 .drop("__zkey")
             )
+        try:
+            self._dispatch_write(df, ident, mode, meta, partition_by,
+                                 sort_by, evolve_schema,
+                                 zorder_by, zorder_bits)
+        finally:
+            if zsrc is not None:
+                zsrc.unpersist()
+
+    def _dispatch_write(self, df: DataFrame, ident: str, mode: str,
+                        meta: dict | None,
+                        partition_by: list[str] | None,
+                        sort_by: list[str] | None,
+                        evolve_schema: bool,
+                        zorder_by: list[str] | None,
+                        zorder_bits: int) -> None:
         if sort_by:
             # range-cluster the data we are writing NOW, on both paths:
             # Iceberg's ALTER ... WRITE ORDERED BY below only governs
@@ -267,7 +294,8 @@ class Catalog:
         if self.iceberg_catalog:
             full = f"{self.iceberg_catalog}.{ident}"
             if mode == "append" and self.exists(ident):
-                # appends inherit the table's partition spec + write order
+                # appends inherit the table's partition spec, write
+                # order and properties (incl. hsip.zorder_by) natively
                 w = df.writeTo(full)
                 if evolve_schema:
                     w = w.option("mergeSchema", "true")
@@ -280,6 +308,15 @@ class Catalog:
                     # carried as Iceberg table properties so checkpoint
                     # fingerprints survive on the cluster path too
                     w = w.tableProperty(f"hsip.{k}", str(v))
+                if zorder_by:
+                    # WRITE ORDERED BY cannot express interleaving, so
+                    # the clustering memory lives in table properties —
+                    # compact() reads them back to dispatch the native
+                    # zorder rewrite strategy (fallback parity: manifest)
+                    w = w.tableProperty("hsip.zorder_by",
+                                        ",".join(zorder_by))
+                    w = w.tableProperty("hsip.zorder_bits",
+                                        str(zorder_bits))
                 w.createOrReplace()
                 if sort_by:
                     self.spark.sql(
@@ -307,6 +344,17 @@ class Catalog:
             # optimistic single-writer check (module docstring): remember
             # the snapshot this append builds on; verified again at commit
             base_snapshot = start_man.get("snapshot_id")
+            # the committed manifest is rebuilt from THIS call's args, so
+            # a plain append (which naturally re-passes no layout) must
+            # inherit the table's recorded clustering/meta — otherwise
+            # one streaming append silently erases sort_by/zorder_by and
+            # every later compact() bin-packs unclustered
+            sort_by = sort_by or start_man.get("sort_by")
+            if not zorder_by and start_man.get("zorder_by"):
+                zorder_by = start_man["zorder_by"]
+                zorder_bits = start_man.get("zorder_bits", zorder_bits)
+            if meta is None:
+                meta = start_man.get("meta")
             # schema-evolution gate (see write() docstring): compare the
             # incoming columns against the live table's before any bytes
             # move; once a table is marked merging it stays marked, so
@@ -489,7 +537,9 @@ class Catalog:
         self.write(merged, ident, mode="overwrite",
                    meta=meta if meta is not None else man.get("meta"),
                    partition_by=man.get("partition_by"),
-                   sort_by=man.get("sort_by"))
+                   sort_by=man.get("sort_by"),
+                   zorder_by=man.get("zorder_by"),
+                   zorder_bits=man.get("zorder_bits", 16))
 
     def compact(self, ident: str, target_files: int = 0,
                 zorder_by: list[str] | None = None) -> None:
@@ -505,11 +555,19 @@ class Catalog:
 
         ``zorder_by`` re-clusters while compacting: Iceberg dispatches
         the native zorder sort strategy; the fallback rewrites through
-        ``write(zorder_by=...)``. A fallback table WRITTEN with
-        zorder_by keeps its clustering on plain compaction (the live
-        manifest remembers the columns), mirroring how sort_by tables
-        re-cluster."""
+        ``write(zorder_by=...)``. A table WRITTEN with zorder_by keeps
+        its clustering on plain compaction — the fallback manifest and
+        the Iceberg ``hsip.zorder_by`` table property both remember the
+        columns — mirroring how sort_by tables re-cluster. As with
+        sort_by tables, ``target_files`` does not apply to clustered
+        rewrites (file count follows the range partitioning; a random
+        repartition(n) would destroy the clustering compaction is meant
+        to preserve)."""
         if self.iceberg_catalog:
+            if zorder_by is None:
+                zp = self.properties(ident).get("zorder_by")
+                if zp:
+                    zorder_by = [c.strip() for c in zp.split(",")]
             if zorder_by:
                 self.spark.sql(
                     f"CALL {self.iceberg_catalog}.system.rewrite_data_files("

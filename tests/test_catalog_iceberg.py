@@ -164,8 +164,10 @@ def test_merge_into_issues_merge_sql():
 
 def test_compact_calls_rewrite_data_files():
     spark, cat = _cat()
+    # un-clustered table: the property probe finds nothing -> binpack
+    spark.sql.return_value.collect.return_value = []
     cat.compact("t.c")
-    spark.sql.assert_called_once_with(
+    spark.sql.assert_called_with(
         "CALL ice.system.rewrite_data_files(table => 't.c')")
 
 
@@ -190,3 +192,31 @@ def test_zorder_compact_dispatches_zorder_sort_strategy():
     spark.sql.assert_called_once_with(
         "CALL ice.system.rewrite_data_files(table => 't.z', "
         "strategy => 'sort', sort_order => 'zorder(user_id, day)')")
+
+
+def test_zorder_write_records_property_and_plain_compact_reads_it():
+    """write(zorder_by=...) must leave clustering memory in table
+    properties so a PLAIN compact() re-clusters instead of silently
+    bin-packing the z-order away (fallback parity: the manifest)."""
+    spark, cat = _cat()
+    df = mock.MagicMock()
+    cat.write(df, "t.zp", zorder_by=["a", "b"], zorder_bits=8)
+    # the write dispatches on the z-clustered frame: persist ->
+    # withColumn -> repartitionByRange -> sortWithinPartitions -> drop
+    final = (df.persist.return_value.withColumn.return_value
+             .repartitionByRange.return_value.sortWithinPartitions
+             .return_value.drop.return_value)
+    wt = final.writeTo.return_value
+    wt.tableProperty.assert_called_once_with("hsip.zorder_by", "a,b")
+    wt.tableProperty.return_value.tableProperty.assert_called_once_with(
+        "hsip.zorder_bits", "8")
+    df.persist.return_value.unpersist.assert_called_once()
+
+    spark2, cat2 = _cat()
+    row = mock.MagicMock()
+    row.__getitem__.side_effect = lambda i: ["hsip.zorder_by", "a,b"][i]
+    spark2.sql.return_value.collect.return_value = [row]
+    cat2.compact("t.zp")
+    spark2.sql.assert_called_with(
+        "CALL ice.system.rewrite_data_files(table => 't.zp', "
+        "strategy => 'sort', sort_order => 'zorder(a, b)')")

@@ -406,6 +406,58 @@ def test_zbucket_overflow_guard():
 
     from hsip.catalog import zbucket
 
-    with pytest.raises(ValueError, match="overflows int64"):
+    with pytest.raises(ValueError, match="2\\^53 exact-arithmetic"):
         zbucket(F.lit(0), 0, (1 << 47), 16)
-    zbucket(F.lit(0), 0, (1 << 45) - 1, 16)  # under the line: fine
+    zbucket(F.lit(0), 0, (1 << 37) - 2, 16)  # under the line: fine
+
+
+def test_zbucket_clamps_input_before_multiply(spark):
+    """A stray sentinel value far outside [lo, hi] clamps to the edge
+    CELL — clamping the quotient after the multiply would overflow (or
+    wrap the largest values to bucket 0 in legacy mode)."""
+    from hsip.catalog import zbucket
+
+    df = spark.createDataFrame(
+        [(1, 1 << 55), (2, -(1 << 55)), (3, 500)], "id int, v long"
+    )
+    got = {
+        r.id: r.b
+        for r in df.select(
+            "id", zbucket(F.col("v"), 0, 1023, 8).alias("b")
+        ).collect()
+    }
+    assert got[1] == 255   # huge value -> top edge cell, not wraparound
+    assert got[2] == 0     # huge negative -> bottom edge cell
+    assert got[3] == 125   # in-range unchanged: (500*256)//1024
+
+
+def test_merge_and_append_preserve_zorder_manifest(spark, tmp_path):
+    """merge_into and plain appends must carry the recorded z-order
+    layout into the rewritten/updated manifest — one upsert or one
+    streaming append must not silently de-cluster the table."""
+    from hsip.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    grid = spark.range(0, 512).select(
+        (F.col("id") % 32).alias("x"),
+        ((F.col("id") * 2654435761) % 32).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    cat.write(grid, "t.zm", zorder_by=["x", "y"], zorder_bits=5,
+              meta={"cfg": "abc"})
+
+    # plain append: no layout args re-passed
+    delta = spark.createDataFrame([(1, 2, 9999)], ["x", "y", "payload"])
+    cat.write(delta, "t.zm", mode="append")
+    man = cat.manifest("t.zm")
+    assert man.get("zorder_by") == ["x", "y"]
+    assert man.get("zorder_bits") == 5
+    assert man.get("meta") == {"cfg": "abc"}  # meta inherited too
+
+    # merge: full fallback rewrite must re-cluster and keep the memory
+    upd = spark.createDataFrame([(1, 2, 7)], ["x", "y", "payload"])
+    cat.merge_into(upd, "t.zm", ["x", "y"])
+    man2 = cat.manifest("t.zm")
+    assert man2.get("zorder_by") == ["x", "y"]
+    assert man2.get("zorder_bits") == 5
+    assert cat.read("t.zm").count() == 513
