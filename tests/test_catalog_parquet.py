@@ -461,3 +461,91 @@ def test_merge_and_append_preserve_zorder_manifest(spark, tmp_path):
     assert man2.get("zorder_by") == ["x", "y"]
     assert man2.get("zorder_bits") == 5
     assert cat.read("t.zm").count() == 513
+
+
+def test_zorder_key_per_coordinate_monotone_and_bijective(spark):
+    """Morton interleave preserves per-coordinate order with the other
+    coordinate fixed, and is a bijection on the grid (deinterleave
+    round-trips) — the two properties file skipping relies on."""
+    from hsip.catalog import zorder_key
+
+    bits = 5
+    pts = [(x, y) for x in range(0, 32, 3) for y in range(0, 32, 5)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y",
+        zorder_key([F.col("x"), F.col("y")], bits).alias("k"),
+    ).collect()
+    key = {(r.x, r.y): r.k for r in rows}
+
+    def deinterleave(k):
+        x = y = 0
+        for b in range(bits):
+            x |= ((k >> (2 * b)) & 1) << b
+            y |= ((k >> (2 * b + 1)) & 1) << b
+        return x, y
+
+    assert len(set(key.values())) == len(pts)  # injective
+    for (x, y), k in key.items():
+        assert deinterleave(k) == (x, y)       # bijective on the grid
+    xs = sorted({x for x, _ in pts})
+    ys = sorted({y for _, y in pts})
+    for y in ys:                               # monotone in x at fixed y
+        ks = [key[(x, y)] for x in xs]
+        assert ks == sorted(ks)
+    for x in xs:                               # monotone in y at fixed x
+        ks = [key[(x, y)] for y in ys]
+        assert ks == sorted(ks)
+
+
+def test_catalog_op_sequence_matches_model(spark, tmp_path):
+    """Randomized write/append/merge/compact sequence against a python
+    dict model: row content always matches, and the recorded clustering
+    layout survives every op (the manifest-inheritance contract)."""
+    import random
+
+    from hsip.catalog import Catalog
+
+    rng = random.Random(2026)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    model: dict[int, tuple[int, int]] = {}  # key -> (x, y)
+
+    def mk_rows(n, fresh_keys):
+        rows = []
+        for _ in range(n):
+            k = (rng.randrange(10_000, 20_000) if fresh_keys
+                 else rng.choice(sorted(model) or [10_000]))
+            rows.append((k, rng.randrange(64), rng.randrange(64)))
+        return rows
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "key long, x long, y long")
+
+    first = mk_rows(40, fresh_keys=True)
+    cat.write(df_of(first), "t.seq", zorder_by=["x", "y"], zorder_bits=6,
+              meta={"v": "1"})
+    for k, x, y in first:
+        model[k] = (x, y)
+
+    for _ in range(6):
+        op = rng.choice(["append", "merge", "compact"])
+        if op == "append":
+            rows = mk_rows(10, fresh_keys=True)
+            cat.write(df_of(rows), "t.seq", mode="append")
+            for k, x, y in rows:
+                model[k] = (x, y)
+        elif op == "merge":
+            rows = mk_rows(5, fresh_keys=False) + mk_rows(5, fresh_keys=True)
+            # merge cardinality rule: one row per key in the delta
+            dedup = {k: (k, x, y) for k, x, y in rows}
+            cat.merge_into(df_of(list(dedup.values())), "t.seq", ["key"])
+            for k, x, y in dedup.values():
+                model[k] = (x, y)
+        else:
+            cat.compact("t.seq")
+        got = {r.key: (r.x, r.y) for r in cat.read("t.seq").collect()}
+        assert got == model, f"diverged after {op}"
+        man = cat.manifest("t.seq")
+        assert man.get("zorder_by") == ["x", "y"], f"layout lost after {op}"
+        assert man.get("zorder_bits") == 6
+        assert man.get("meta") == {"v": "1"}, f"meta lost after {op}"
