@@ -255,3 +255,24 @@ def test_span_batch_kernel_equals_scalar_loop():
             if best >= min_len:
                 break
         assert got[i] == best, (i, got[i], best)
+
+
+def test_duplicate_spans_local_run_closure_transitive_pairs():
+    """Three docs sharing ONE span must yield all THREE pairs — the
+    adjacent-only scan emitted (A,B), (B,C) and missed (A,C), charging
+    the channel's correct (A,C) verdict as spurious (round-5 sf0.1
+    audit). Includes padding so the shared suffixes are non-adjacent."""
+    span = "the exact boilerplate block shared verbatim by all three docs"
+    texts = {
+        "a": "alpha preamble " + span + " alpha tail",
+        "b": "bravo intro " + span + " bravo outro words",
+        "c": "charlie start " + span + " charlie end",
+        "d": "entirely unrelated filler content with no overlap at all",
+    }
+    got = {(a, b) for a, b, l in duplicate_spans_local(texts, min_len=40)}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+    # every reported span length is genuine (>= min_len, exists in both)
+    for a, b, l in duplicate_spans_local(texts, min_len=40):
+        ta, tb = texts[a], texts[b]
+        assert l >= 40
+        assert any(ta[i:i + l] in tb for i in range(len(ta) - l + 1))
