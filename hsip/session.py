@@ -9,8 +9,63 @@ and rescaled by the bench harness for the N→4N scaling runs.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_FAIR_POOLS = ("mh_sh", "minhash_lsh", "simhash", "substr")
+
+
+def _fair_pool_file() -> str:
+    """Materialize the FAIR pool definitions the pipeline's channel
+    threads use (pipeline._run_channels names them hsip-<channel>).
+
+    Without an allocation file every pool is created ad hoc with
+    FIFO/minShare 0/weight 1 (FairSchedulableBuilder warning — VERDICT.md
+    r5 blemish 1): the channels still interleave, but nothing guarantees
+    a starved channel a share of the task slots. Explicit pools pin
+    weight 1 + a small minShare so each channel's short shuffle stages
+    are offered slots every scheduling round. Intra-pool mode stays FIFO
+    (a channel submits its own jobs sequentially — nothing to reorder).
+    """
+    pools = "\n".join(
+        f'  <pool name="hsip-{p}">\n'
+        "    <schedulingMode>FIFO</schedulingMode>\n"
+        "    <weight>1</weight>\n"
+        "    <minShare>2</minShare>\n"
+        "  </pool>" for p in _FAIR_POOLS
+    )
+    xml = f'<?xml version="1.0"?>\n<allocations>\n{pools}\n</allocations>\n'
+    path = os.path.join(tempfile.gettempdir(), "hsip-fairscheduler.xml")
+    try:
+        with open(path, "w") as f:
+            f.write(xml)
+    except OSError:
+        return ""
+    return path
+
+
+def _local_scratch_dir() -> str:
+    """Shuffle/spill scratch for locally-launched sessions.
+
+    The sort shuffle writes per-map temp spill files plus a data+index
+    pair per task; on the sandbox's virtio ext4 the per-file fixed cost
+    dominates small shuffles (event-log r6: 161 s of summed shuffle-write
+    time for ~7k tiny tasks at bench scale — guide §2.1 "local disk
+    bandwidth for shuffle files can be the tighter limit"). RAM-backed
+    tmpfs removes the file-op floor entirely. Production posture: this
+    only applies when get_spark ITSELF launches a local master — under
+    spark-submit the cluster manager provides the local dirs (YARN/K8s
+    SSD mounts) and this function is never consulted. Override with
+    HSIP_LOCAL_DIR; falls back to the Spark default when no tmpfs exists.
+    """
+    override = os.environ.get("HSIP_LOCAL_DIR")
+    if override:
+        return override
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "hsip-spark-local")
+    return ""
 
 
 def get_spark(
@@ -66,7 +121,21 @@ def get_spark(
         # lever against last-wave straggler idle at small executor counts
         # (BENCH/BASELINE.md decomposition of the 0.60 scaling number)
         .config("spark.scheduler.mode", "FAIR")
+        # let AQE re-optimize CACHED plans too: a repartition(col).cache()
+        # otherwise pins spark.sql.shuffle.partitions output partitions
+        # into the InMemoryRelation, so every downstream scan schedules
+        # that many tasks regardless of data size (event-log r6: 64-task
+        # stages over kB-sized cached frames, ~7.4k tasks per bench run
+        # -> 1.7k with this on). Size-adaptive at every scale — big
+        # caches keep their width, small ones coalesce (guide §2.2).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
     )
+    pool_file = _fair_pool_file()
+    if pool_file:
+        builder = builder.config("spark.scheduler.allocation.file", pool_file)
     if not submitted:
         builder = builder.master(master)
         # driver memory is a pre-JVM-launch setting: meaningful only when
@@ -75,6 +144,23 @@ def get_spark(
         builder = builder.config(
             "spark.driver.memory", os.environ.get("HSIP_DRIVER_MEM", "24g")
         )
+        # shuffle scratch on the fastest local storage (pre-JVM-launch
+        # setting, local masters only — see _local_scratch_dir)
+        scratch = _local_scratch_dir()
+        if scratch:
+            builder = builder.config("spark.local.dir", scratch)
+            if scratch.startswith("/dev/shm"):
+                # RAM-backed scratch: shuffle bytes never touch a disk,
+                # so lz4-compressing them is pure CPU in the write/read
+                # path (guide §2.3 "compression can be pure overhead —
+                # measure both"; r6 A/B: 8.4 s vs 9.3 s transcript bench
+                # with identical plans). Real clusters (spark-submit)
+                # keep the compressed default — their shuffle dirs are
+                # disks and cross-node traffic is network-bound.
+                builder = builder.config("spark.shuffle.compress", "false")
+                builder = builder.config(
+                    "spark.shuffle.spill.compress", "false"
+                )
         if shuffle_partitions is not None:
             builder = builder.config(
                 "spark.sql.shuffle.partitions", str(shuffle_partitions)

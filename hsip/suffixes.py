@@ -399,7 +399,8 @@ def _span_lens_batch(enc_a: list[bytes], enc_b: list[bytes],
 
 
 def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
-                  cfg: DedupConfig, scratch: list | None = None) -> DataFrame:
+                  cfg: DedupConfig, scratch: list | None = None,
+                  eager: bool = True) -> DataFrame:
     """V4: exact span measurement for substring candidates.
 
     pairs must carry (a, b, pos_as, pos_bs). Output adds substr_len and
@@ -407,6 +408,14 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
     ``scratch``: optional list the internal pair/text caches are appended
     to so the caller can unpersist them once the verified output has
     materialized (VERDICT.md r3 item 5).
+    ``eager=False`` (small corpora, cfg.eager_barrier_min_docs): the
+    pruned text table stays a lazily-cached semi-join — no repartition
+    exchange, no count barrier. At that scale both hydration joins
+    broadcast the (tiny) pruned table and the two broadcast subtrees
+    canonicalize identically, so one build serves both; the eager
+    barrier + explicit hash layout only pay off once the pruned table is
+    big enough to sort-merge (same scale-adaptive split as
+    verify_jaccard_hamming). Output rows identical either way.
     """
     k, min_len = cfg.substr_gram, cfg.min_substr_len
     # The normalized-text table is the fattest thing this stage touches
@@ -425,21 +434,19 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
     pairs = pairs.cache()
     if scratch is not None:
         scratch.append(pairs)
-    pair_ids = (
-        pairs.select(F.col("a").alias("id"))
-        .unionByName(pairs.select(F.col("b").alias("id")))
-        .distinct()
-    )
-    normed = (
-        docs.select(
-            F.col(id_col).cast("string").alias("id"),
-            norm_text_col(text_col, cfg).alias("t"),
-        )
-        .join(pair_ids, "id", "left_semi")
-        .repartition("id")
-        .cache()
-    )
-    normed.count()
+    # one explode scan, not a two-branch union: under AQE the union legs
+    # materialize as separate query-stage futures, each re-executing the
+    # uncached candidate chain (r6 event-log job swarm)
+    pair_ids = pairs.select(F.explode(F.array("a", "b")).alias("id")).distinct()
+    normed = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        norm_text_col(text_col, cfg).alias("t"),
+    ).join(pair_ids, "id", "left_semi")
+    if eager:
+        normed = normed.repartition("id")
+    normed = normed.cache()
+    if eager:
+        normed.count()
     if scratch is not None:
         scratch.append(normed)
     h = (

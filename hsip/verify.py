@@ -31,11 +31,13 @@ def hydrate(pairs: DataFrame, features: DataFrame, cols: list[str],
     candidates, never with the corpus."""
     f = features.select("id", *cols)
     if prune:
-        pair_ids = (
-            pairs.select(F.col("a").alias("id"))
-            .unionByName(pairs.select(F.col("b").alias("id")))
-            .distinct()
-        )
+        # one explode scan, not a two-branch union: under AQE the two
+        # union legs materialize as separate query-stage futures, each
+        # re-executing the (typically uncached) candidate chain (r6
+        # event-log: the duplicated-subtree job swarm)
+        pair_ids = pairs.select(
+            F.explode(F.array("a", "b")).alias("id")
+        ).distinct()
         f = f.join(pair_ids, "id", "left_semi")
     out = pairs.join(f, pairs["a"] == f["id"]).drop("id")
     for c in cols:
@@ -166,10 +168,9 @@ def verify_jaccard_hamming(pairs: DataFrame, features: DataFrame,
         scratch.append(pairs)
     is_mh = F.col("channel") == "minhash_lsh"
     mh_pairs = pairs.filter(is_mh).drop("simhash_a", "simhash_b")
-    pair_ids = (
-        mh_pairs.select(F.col("a").alias("id"))
-        .unionByName(mh_pairs.select(F.col("b").alias("id")))
-    )
+    # single explode scan (vs a two-leg union) — same AQE duplicated-
+    # subtree rationale as hydrate()
+    pair_ids = mh_pairs.select(F.explode(F.array("a", "b")).alias("id"))
     f = (
         features.select("id", "shingles")
         .join(pair_ids, "id", "left_semi")
