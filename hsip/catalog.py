@@ -234,6 +234,45 @@ class Catalog:
         ``compact(ident, zorder_by=...)`` -> the native
         rewrite_data_files zorder strategy (WRITE ORDERED BY cannot
         express interleaving)."""
+        start_man = None
+        if mode == "append" and self.exists(ident):
+            # Resolve layout inheritance BEFORE the physical clustering
+            # below (ADVICE.md r5): a plain append naturally re-passes no
+            # layout, and resolving only inside _write_parquet_locked
+            # (after repartitionByRange/z-cluster already ran with the
+            # caller's empty args) landed appended files UNCLUSTERED
+            # while the rebuilt manifest still claimed the layout. An
+            # append whose explicit layout conflicts with the table's
+            # recorded one is rejected here, so a manifest can never
+            # record both sort_by and zorder_by.
+            if self.iceberg_catalog:
+                props = self.properties(ident)
+                zp = props.get("zorder_by")
+                man_sort = None  # Iceberg write order is inherited natively
+                man_z = [c.strip() for c in zp.split(",")] if zp else None
+                man_bits = int(props.get("zorder_bits", zorder_bits))
+            else:
+                # single manifest read, threaded down to the locked
+                # writer as its base snapshot — a second read here would
+                # double the commit-protocol's manifest I/O and shift
+                # the optimistic-concurrency read point
+                start_man = self.manifest(ident)
+                man_sort = start_man.get("sort_by")
+                man_z = start_man.get("zorder_by")
+                man_bits = start_man.get("zorder_bits", zorder_bits)
+            if sort_by and man_z:
+                raise ValueError(
+                    f"append to {ident}: sort_by={sort_by!r} conflicts with "
+                    f"the table's recorded zorder_by={man_z!r} (one physical "
+                    "order per table)")
+            if zorder_by and man_sort:
+                raise ValueError(
+                    f"append to {ident}: zorder_by={zorder_by!r} conflicts "
+                    f"with the table's recorded sort_by={man_sort!r} (one "
+                    "physical order per table)")
+            sort_by = sort_by or man_sort
+            if not zorder_by and man_z:
+                zorder_by, zorder_bits = man_z, man_bits
         zsrc = None
         if zorder_by:
             if sort_by:
@@ -270,7 +309,7 @@ class Catalog:
         try:
             self._dispatch_write(df, ident, mode, meta, partition_by,
                                  sort_by, evolve_schema,
-                                 zorder_by, zorder_bits)
+                                 zorder_by, zorder_bits, start_man)
         finally:
             if zsrc is not None:
                 zsrc.unpersist()
@@ -281,7 +320,8 @@ class Catalog:
                         sort_by: list[str] | None,
                         evolve_schema: bool,
                         zorder_by: list[str] | None,
-                        zorder_bits: int) -> None:
+                        zorder_bits: int,
+                        start_man: dict | None = None) -> None:
         if sort_by:
             # range-cluster the data we are writing NOW, on both paths:
             # Iceberg's ALTER ... WRITE ORDERED BY below only governs
@@ -327,7 +367,7 @@ class Catalog:
         with self._lock(ident):
             self._write_parquet_locked(df, ident, mode, meta, partition_by,
                                        sort_by, evolve_schema,
-                                       zorder_by, zorder_bits)
+                                       zorder_by, zorder_bits, start_man)
 
     def _write_parquet_locked(self, df: DataFrame, ident: str, mode: str,
                               meta: dict | None,
@@ -335,12 +375,14 @@ class Catalog:
                               sort_by: list[str] | None = None,
                               evolve_schema: bool = False,
                               zorder_by: list[str] | None = None,
-                              zorder_bits: int = 16) -> None:
+                              zorder_bits: int = 16,
+                              start_man: dict | None = None) -> None:
         base = self._path(ident)
         base_snapshot = None
         merge_schema = False
         if mode == "append" and self.exists(ident):
-            start_man = self.manifest(ident)
+            if start_man is None:
+                start_man = self.manifest(ident)
             # optimistic single-writer check (module docstring): remember
             # the snapshot this append builds on; verified again at commit
             base_snapshot = start_man.get("snapshot_id")
@@ -569,6 +611,22 @@ class Catalog:
                 if zp:
                     zorder_by = [c.strip() for c in zp.split(",")]
             if zorder_by:
+                # properties are an out-of-band string channel and the
+                # column list is interpolated into the CALL statement —
+                # validate every name against the live schema first so a
+                # quoted/parenthesized/comma-bearing name (or a mis-split
+                # property) fails loudly instead of breaking or
+                # redirecting the SQL (ADVICE.md r5)
+                live = set(
+                    self.spark.read.table(
+                        f"{self.iceberg_catalog}.{ident}"
+                    ).columns
+                )
+                bad = [c for c in zorder_by if c not in live]
+                if bad:
+                    raise ValueError(
+                        f"compact({ident}): zorder columns {bad!r} not in "
+                        f"table schema {sorted(live)!r}")
                 self.spark.sql(
                     f"CALL {self.iceberg_catalog}.system.rewrite_data_files("
                     f"table => '{ident}', strategy => 'sort', "

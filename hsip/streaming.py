@@ -113,14 +113,26 @@ def latest_index_versions(idx: DataFrame, keys: list[str]) -> DataFrame:
     forever. The commit wall-clock stamped at append time orders across
     lineages; batch_id/stream_id only break (sub-microsecond) ties.
     Tables written before ingested_at existed fall back to the old
-    (batch_id, stream_id) order.
+    (batch_id, stream_id) order — and a table MIGRATED to the new
+    schema (mergeSchema) carries NULL ingested_at on its legacy rows.
+    Those order correctly under the struct max already (NULL sorts
+    lowest, so any stamped version beats a legacy one), but the
+    join-back must be NULL-SAFE: an equi-join on ingested_at would
+    silently drop every key whose latest version is a legacy row
+    (NULL != NULL), removing its features/bands from the incremental
+    index and missing duplicates against it (ADVICE.md r5, medium).
     """
     order_cols = (["ingested_at"] if "ingested_at" in idx.columns else []) \
         + ["batch_id", "stream_id"]
     latest = idx.groupBy(*keys).agg(
         F.max(F.struct(*order_cols)).alias("_v")
     ).select(*keys, *[F.col(f"_v.{c}").alias(c) for c in order_cols])
-    return idx.join(latest, [*keys, *order_cols])
+    i, l = idx.alias("i"), latest.alias("l")
+    cond = None
+    for c in [*keys, *order_cols]:
+        eq = F.col(f"i.{c}").eqNullSafe(F.col(f"l.{c}"))
+        cond = eq if cond is None else cond & eq
+    return i.join(l, cond, "left_semi")
 
 
 # hash-bucket fan-out of stream-scoped dedup tables (stream.verified):
@@ -206,7 +218,14 @@ def run_incremental_ingest(
                                  scope=scope, batch_id=batch_id)
             df = df.join(prior.select(keys), keys, "left_anti")
         part = ["pair_bucket"] if scope == "stream" else ["batch_id"]
-        catalog.write(df, ident, mode="append", partition_by=part)
+        # evolve_schema: index tables created before ingested_at existed
+        # must keep accepting appends after an engine upgrade — without
+        # it the first post-upgrade batch hits the schema-drift
+        # ValueError and halts ingest (ADVICE.md r5, medium). Legacy
+        # rows read back with NULL ingested_at, which
+        # latest_index_versions orders and joins null-safely.
+        catalog.write(df, ident, mode="append", partition_by=part,
+                      evolve_schema=True)
         if cached is not None:
             cached.unpersist()
 

@@ -138,7 +138,10 @@ def test_sorted_write_declares_iceberg_write_order():
     spark.sql.assert_called_with(
         "ALTER TABLE ice.t.sorted WRITE ORDERED BY (v, k)")
     # appends inherit the declared write order: no ALTER re-issued —
-    # but the appended data is still clustered before it lands
+    # but the appended data is still clustered before it lands. The
+    # only SQL an append may issue is the SHOW TBLPROPERTIES read that
+    # resolves recorded z-order layout before clustering (r6 layout-
+    # inheritance fix, ADVICE.md r5).
     spark.reset_mock()
     spark.catalog.tableExists.return_value = True
     df2 = mock.MagicMock()
@@ -146,7 +149,10 @@ def test_sorted_write_declares_iceberg_write_order():
     clustered2 = df2.repartitionByRange.return_value \
         .sortWithinPartitions.return_value
     clustered2.writeTo.return_value.append.assert_called_once()
-    spark.sql.assert_not_called()
+    for call in spark.sql.call_args_list:
+        assert call[0][0].startswith("SHOW TBLPROPERTIES"), call
+    assert not any(
+        c[0][0].startswith("ALTER") for c in spark.sql.call_args_list)
 
 
 def test_merge_into_issues_merge_sql():
@@ -188,10 +194,25 @@ def test_evolving_append_sets_merge_schema_option():
 
 def test_zorder_compact_dispatches_zorder_sort_strategy():
     spark, cat = _cat()
+    # the r6 SQL-injection guard validates zorder names against the live
+    # schema before interpolating them into the CALL statement
+    spark.read.table.return_value.columns = ["user_id", "day", "payload"]
     cat.compact("t.z", zorder_by=["user_id", "day"])
     spark.sql.assert_called_once_with(
         "CALL ice.system.rewrite_data_files(table => 't.z', "
         "strategy => 'sort', sort_order => 'zorder(user_id, day)')")
+
+
+def test_zorder_compact_rejects_unknown_columns():
+    """Table properties are an out-of-band string channel: a name that
+    is not a real column (quotes, parens, a comma mis-split) must fail
+    loudly instead of being interpolated into the CALL SQL."""
+    import pytest
+
+    spark, cat = _cat()
+    spark.read.table.return_value.columns = ["user_id", "day"]
+    with pytest.raises(ValueError, match="not in table schema"):
+        cat.compact("t.z", zorder_by=["user_id", "day)'; DROP"])
 
 
 def test_zorder_write_records_property_and_plain_compact_reads_it():
@@ -216,6 +237,7 @@ def test_zorder_write_records_property_and_plain_compact_reads_it():
     row = mock.MagicMock()
     row.__getitem__.side_effect = lambda i: ["hsip.zorder_by", "a,b"][i]
     spark2.sql.return_value.collect.return_value = [row]
+    spark2.read.table.return_value.columns = ["a", "b", "p"]
     cat2.compact("t.zp")
     spark2.sql.assert_called_with(
         "CALL ice.system.rewrite_data_files(table => 't.zp', "
