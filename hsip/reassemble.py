@@ -23,12 +23,26 @@ def dedupe_turn_versions(turns: DataFrame) -> DataFrame:
     chosen because it is engine-portable (plain ORDER BY, no
     engine-specific hash) so batch, streaming, and any SQL oracle all
     keep the same surviving row.
+
+    Physical shape (r6, guide §2.4 "share one exchange"): the corpus is
+    hash-partitioned on ``conv_id`` ONCE. HashPartitioning(conv_id)
+    satisfies the window's (conv_id, turn_idx) clustering requirement
+    (subset rule), and the downstream ``reassemble`` groupBy(conv_id)
+    reuses the same layout — so C1+C2 together move the turn text over
+    the network exactly once, where the bare window exchange on
+    (conv_id, turn_idx) could never serve the conv_id groupBy and the
+    corpus shuffled twice. Per-conv volume is bounded by the
+    max_turns_per_conv guard, so the coarser key does not create
+    unsplittable partitions. Row results are identical (the window
+    ordering is deterministic within each (conv_id, turn_idx) group
+    regardless of partitioning).
     """
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(
         F.desc("ts"), F.desc("text")
     )
     return (
-        turns.withColumn("_rn", F.row_number().over(w))
+        turns.repartition("conv_id")
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
