@@ -88,7 +88,17 @@ def pairs_from_buckets(
     # single task (the skew the cap exists to prevent). The join-back is
     # skew-safe too (AQE skew-join splits it). Callers must pass a
     # CACHED/materialized `bucketed` — both branches scan it.
-    sizes = bucketed.groupBy(*cols).agg(F.count(F.lit(1)).alias("bsz"))
+    #
+    # bsz >= 2 (r6, guide §2.3): singleton buckets can never pair — the
+    # self-join's id < id condition and the hot path (bsz > cap >= 1)
+    # both ignore them — yet on real corpora they are the vast majority
+    # of bucket keys (r6 554k-turn rung: 7.26M of 7.37M distinct
+    # substring fingerprints are singletons). Filtering them out of the
+    # size table before the join-back shrinks both join inputs to the
+    # rows that can actually produce pairs; the inner join then drops
+    # their bucket rows too. Output pairs/hot-stats are identical.
+    sizes = bucketed.groupBy(*cols).agg(F.count(F.lit(1)).alias("bsz")) \
+        .filter(F.col("bsz") >= 2)
     tagged = bucketed.join(sizes, cols)
 
     small = tagged.filter(F.col("bsz") <= cap).drop("bsz")
