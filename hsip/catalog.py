@@ -234,85 +234,74 @@ class Catalog:
         ``compact(ident, zorder_by=...)`` -> the native
         rewrite_data_files zorder strategy (WRITE ORDERED BY cannot
         express interleaving)."""
-        start_man = None
-        if mode == "append" and self.exists(ident):
-            # Resolve layout inheritance BEFORE the physical clustering
-            # below (ADVICE.md r5): a plain append naturally re-passes no
-            # layout, and resolving only inside _write_parquet_locked
-            # (after repartitionByRange/z-cluster already ran with the
-            # caller's empty args) landed appended files UNCLUSTERED
-            # while the rebuilt manifest still claimed the layout. An
-            # append whose explicit layout conflicts with the table's
-            # recorded one is rejected here, so a manifest can never
-            # record both sort_by and zorder_by.
-            if self.iceberg_catalog:
-                props = self.properties(ident)
-                zp = props.get("zorder_by")
-                man_sort = None  # Iceberg write order is inherited natively
-                man_z = [c.strip() for c in zp.split(",")] if zp else None
-                man_bits = int(props.get("zorder_bits", zorder_bits))
-            else:
-                # single manifest read, threaded down to the locked
-                # writer as its base snapshot — a second read here would
-                # double the commit-protocol's manifest I/O and shift
-                # the optimistic-concurrency read point
-                start_man = self.manifest(ident)
-                man_sort = start_man.get("sort_by")
-                man_z = start_man.get("zorder_by")
-                man_bits = start_man.get("zorder_bits", zorder_bits)
+        if zorder_by and sort_by:
+            raise ValueError("zorder_by and sort_by are mutually "
+                             "exclusive (one physical order per table)")
+        if zorder_by and len(zorder_by) < 2:
+            raise ValueError("zorder_by needs >= 2 columns — use "
+                             "sort_by for single-column clustering")
+        if self.iceberg_catalog and mode == "append" and self.exists(ident):
+            # Resolve recorded layout BEFORE the physical clustering
+            # (ADVICE.md r5): Iceberg inherits partition spec and write
+            # order natively on append, but z-interleaving is ours — read
+            # it back from the table properties so a plain append lands
+            # z-clustered instead of only property-labeled. Conflicting
+            # explicit layouts are rejected. (The parquet fallback does
+            # the same INSIDE its per-ident lock — _write_parquet_locked
+            # — so in-process writers chain snapshots without tripping
+            # the optimistic-concurrency check.)
+            props = self.properties(ident)
+            zp = props.get("zorder_by")
+            man_z = [c.strip() for c in zp.split(",")] if zp else None
             if sort_by and man_z:
                 raise ValueError(
                     f"append to {ident}: sort_by={sort_by!r} conflicts with "
                     f"the table's recorded zorder_by={man_z!r} (one physical "
                     "order per table)")
-            if zorder_by and man_sort:
-                raise ValueError(
-                    f"append to {ident}: zorder_by={zorder_by!r} conflicts "
-                    f"with the table's recorded sort_by={man_sort!r} (one "
-                    "physical order per table)")
-            sort_by = sort_by or man_sort
             if not zorder_by and man_z:
-                zorder_by, zorder_bits = man_z, man_bits
+                zorder_by = man_z
+                zorder_bits = int(props.get("zorder_bits", zorder_bits))
         zsrc = None
-        if zorder_by:
-            if sort_by:
-                raise ValueError("zorder_by and sort_by are mutually "
-                                 "exclusive (one physical order per table)")
-            if len(zorder_by) < 2:
-                raise ValueError("zorder_by needs >= 2 columns — use "
-                                 "sort_by for single-column clustering")
-            # persist the input across the TWO actions this path runs
-            # (bounds agg + the write itself) — without it a computed
-            # DataFrame's whole upstream lineage executes twice
-            zsrc = df.persist()
-            bounds = zsrc.agg(*[
-                f(c).cast("long").alias(f"{n}_{c}")
-                for c in zorder_by for f, n in ((F.min, "lo"), (F.max, "hi"))
-            ]).collect()[0]
-            zcols = []
-            for c in zorder_by:
-                lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
-                if lo is None or hi is None or lo == hi:
-                    # empty input or constant column: degenerate single
-                    # cell (the key still interleaves the other columns)
-                    zcols.append(F.lit(0).cast("long"))
-                else:
-                    zcols.append(zbucket(F.col(c), lo, hi, zorder_bits))
-            df = (
-                zsrc.withColumn("__zkey", zorder_key(zcols, zorder_bits))
-                .repartitionByRange(
-                    self.spark.sparkContext.defaultParallelism, "__zkey"
-                )
-                .sortWithinPartitions("__zkey")
-                .drop("__zkey")
-            )
+        if self.iceberg_catalog and zorder_by:
+            df, zsrc = self._zcluster(df, zorder_by, zorder_bits)
         try:
             self._dispatch_write(df, ident, mode, meta, partition_by,
                                  sort_by, evolve_schema,
-                                 zorder_by, zorder_bits, start_man)
+                                 zorder_by, zorder_bits)
         finally:
             if zsrc is not None:
                 zsrc.unpersist()
+
+    def _zcluster(self, df: DataFrame, zorder_by: list[str],
+                  zorder_bits: int):
+        """Morton-cluster ``df`` on ``zorder_by`` (see write()): one
+        metadata-scale bounds aggregation, then the interleaved key
+        drives repartitionByRange + sortWithinPartitions. Returns
+        (clustered_df, persisted_src) — the caller unpersists the source
+        AFTER the write consumes it (two actions share the lineage)."""
+        zsrc = df.persist()
+        bounds = zsrc.agg(*[
+            f(c).cast("long").alias(f"{n}_{c}")
+            for c in zorder_by for f, n in ((F.min, "lo"), (F.max, "hi"))
+        ]).collect()[0]
+        zcols = []
+        for c in zorder_by:
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            if lo is None or hi is None or lo == hi:
+                # empty input or constant column: degenerate single
+                # cell (the key still interleaves the other columns)
+                zcols.append(F.lit(0).cast("long"))
+            else:
+                zcols.append(zbucket(F.col(c), lo, hi, zorder_bits))
+        out = (
+            zsrc.withColumn("__zkey", zorder_key(zcols, zorder_bits))
+            .repartitionByRange(
+                self.spark.sparkContext.defaultParallelism, "__zkey"
+            )
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+        return out, zsrc
 
     def _dispatch_write(self, df: DataFrame, ident: str, mode: str,
                         meta: dict | None,
@@ -320,14 +309,15 @@ class Catalog:
                         sort_by: list[str] | None,
                         evolve_schema: bool,
                         zorder_by: list[str] | None,
-                        zorder_bits: int,
-                        start_man: dict | None = None) -> None:
-        if sort_by:
-            # range-cluster the data we are writing NOW, on both paths:
-            # Iceberg's ALTER ... WRITE ORDERED BY below only governs
-            # FUTURE writers — without this the initial snapshot (usually
-            # most of the table) would land unclustered with overlapping
-            # min/max stats and no file-skipping.
+                        zorder_bits: int) -> None:
+        if sort_by and self.iceberg_catalog:
+            # range-cluster the data we are writing NOW: Iceberg's
+            # ALTER ... WRITE ORDERED BY below only governs FUTURE
+            # writers — without this the initial snapshot (usually most
+            # of the table) would land unclustered with overlapping
+            # min/max stats and no file-skipping. (The parquet fallback
+            # clusters inside _write_parquet_locked, AFTER its in-lock
+            # layout inheritance.)
             df = df.repartitionByRange(
                 self.spark.sparkContext.defaultParallelism, *sort_by
             ).sortWithinPartitions(*sort_by)
@@ -367,7 +357,7 @@ class Catalog:
         with self._lock(ident):
             self._write_parquet_locked(df, ident, mode, meta, partition_by,
                                        sort_by, evolve_schema,
-                                       zorder_by, zorder_bits, start_man)
+                                       zorder_by, zorder_bits)
 
     def _write_parquet_locked(self, df: DataFrame, ident: str, mode: str,
                               meta: dict | None,
@@ -375,14 +365,19 @@ class Catalog:
                               sort_by: list[str] | None = None,
                               evolve_schema: bool = False,
                               zorder_by: list[str] | None = None,
-                              zorder_bits: int = 16,
-                              start_man: dict | None = None) -> None:
+                              zorder_bits: int = 16) -> None:
         base = self._path(ident)
         base_snapshot = None
         merge_schema = False
         if mode == "append" and self.exists(ident):
-            if start_man is None:
-                start_man = self.manifest(ident)
+            # ONE in-lock manifest read serves the optimistic-concurrency
+            # base snapshot AND the layout inheritance below: reading it
+            # before the lock (as an r6 draft did) made sequential
+            # IN-PROCESS writers — e.g. the channel threads appending
+            # lineage rows — trip ConcurrentWriteError on each other,
+            # because the waiter's pre-lock snapshot was already stale by
+            # the time it acquired the lock.
+            start_man = self.manifest(ident)
             # optimistic single-writer check (module docstring): remember
             # the snapshot this append builds on; verified again at commit
             base_snapshot = start_man.get("snapshot_id")
@@ -390,7 +385,22 @@ class Catalog:
             # a plain append (which naturally re-passes no layout) must
             # inherit the table's recorded clustering/meta — otherwise
             # one streaming append silently erases sort_by/zorder_by and
-            # every later compact() bin-packs unclustered
+            # every later compact() bin-packs unclustered. An append
+            # whose explicit layout conflicts with the recorded one is
+            # rejected, so a manifest can never carry both orders
+            # (ADVICE.md r5).
+            if sort_by and start_man.get("zorder_by"):
+                raise ValueError(
+                    f"append to {ident}: sort_by={sort_by!r} conflicts "
+                    f"with the table's recorded zorder_by="
+                    f"{start_man['zorder_by']!r} (one physical order per "
+                    "table)")
+            if zorder_by and start_man.get("sort_by"):
+                raise ValueError(
+                    f"append to {ident}: zorder_by={zorder_by!r} conflicts "
+                    f"with the table's recorded sort_by="
+                    f"{start_man['sort_by']!r} (one physical order per "
+                    "table)")
             sort_by = sort_by or start_man.get("sort_by")
             if not zorder_by and start_man.get("zorder_by"):
                 zorder_by = start_man["zorder_by"]
@@ -447,11 +457,28 @@ class Catalog:
                 shutil.rmtree(base)
             os.rename(tmp, base)
             return
+        # physical clustering runs HERE, after the in-lock layout
+        # inheritance above, so a plain append to a sorted/z-ordered
+        # table lands its snapshot clustered (ADVICE.md r5 — the r5
+        # shape clustered in write(), before inheritance had resolved,
+        # so inherited-layout appends wrote unclustered files under a
+        # manifest that claimed otherwise)
+        zsrc = None
+        if zorder_by:
+            df, zsrc = self._zcluster(df, zorder_by, zorder_bits)
+        elif sort_by:
+            df = df.repartitionByRange(
+                self.spark.sparkContext.defaultParallelism, *sort_by
+            ).sortWithinPartitions(*sort_by)
         tmp = f"{base}.tmp-{uuid.uuid4().hex[:8]}"
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(os.path.join(tmp, "data"))
+        try:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(os.path.join(tmp, "data"))
+        finally:
+            if zsrc is not None:
+                zsrc.unpersist()
         man = {
             "ident": ident,
             "snapshot_id": uuid.uuid4().hex,

@@ -97,3 +97,47 @@ def test_classic_signature_neighbor_invariant_around_empty_rows():
             if arr is None or len(arr) == 0:
                 sent = np.asarray(got[i], dtype=np.int64).view(np.uint64)
                 assert (sent == _EMPTY_SENTINEL).all()
+
+
+def test_oph_densification_is_nearest_nonempty_right():
+    """r6 kernel rewrite pin: the one-pass suffix-scan densification must
+    equal the rotation-fixpoint definition — every EMPTY bin borrows the
+    value of the nearest NON-EMPTY bin to its right, circularly
+    (Shrivastava & Li, ICML 2014). Checked against a brute-force oracle
+    over adversarial shapes: single-shingle docs (127 empty bins), empty
+    docs (all-sentinel rows must survive), and dense docs (no-op)."""
+    import numpy as np
+    import pandas as pd
+
+    from hsip.minhash import _EMPTY_SENTINEL, _coeffs, _oph_batch
+
+    rng = np.random.default_rng(11)
+    num_perm = 128
+    a, b = _coeffs(num_perm, 5)
+    arrs = [
+        None,
+        np.array([], dtype=np.int64),
+        rng.integers(-2**62, 2**62, 1).astype(np.int64),   # 1 filled bin
+        rng.integers(-2**62, 2**62, 2).astype(np.int64),
+        rng.integers(-2**62, 2**62, 5000).astype(np.int64),  # dense
+    ]
+    sigs = np.vstack(list(_oph_batch(pd.Series(arrs, dtype=object),
+                                     num_perm, a[0], b[0])))
+
+    # brute-force oracle: scatter-min then per-bin circular right search
+    for i, x in enumerate(arrs):
+        raw = np.full(num_perm, _EMPTY_SENTINEL, dtype=np.uint64)
+        if x is not None and len(x):
+            v = a[0] * x.view(np.uint64) + b[0]
+            bins = (v >> np.uint64(64 - 7)).astype(np.int64)
+            for bn, val in zip(bins, v):
+                raw[bn] = min(raw[bn], val)
+        expect = raw.copy()
+        if (raw != _EMPTY_SENTINEL).any():
+            for j in range(num_perm):
+                if raw[j] == _EMPTY_SENTINEL:
+                    d = 1
+                    while raw[(j + d) % num_perm] == _EMPTY_SENTINEL:
+                        d += 1
+                    expect[j] = raw[(j + d) % num_perm]
+        assert np.array_equal(sigs[i].view(np.uint64), expect), f"row {i}"
