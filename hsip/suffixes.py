@@ -455,8 +455,18 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
         normed.count()
     if scratch is not None:
         scratch.append(normed)
+    h_pairs = pairs
+    if not eager:
+        # latency mode runs a narrow corpus-derived shuffle width (~8);
+        # right for the tiny exchanges, but the span-extension UDF below
+        # is CPU-bound and would run 8-wide. Re-spread the NARROW pair
+        # rows (ids + anchor offset arrays, a few MB) to the core count
+        # before the text attaches — the compute stage then uses every
+        # slot (r6; the eager path already runs at the ambient width).
+        sc = pairs.sparkSession.sparkContext
+        h_pairs = pairs.repartition(max(sc.defaultParallelism, 8))
     h = (
-        pairs.join(normed, pairs["a"] == normed["id"]).drop("id")
+        h_pairs.join(normed, h_pairs["a"] == normed["id"]).drop("id")
         .withColumnRenamed("t", "t_a")
     )
     nb = normed.alias("nb")

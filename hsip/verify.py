@@ -212,7 +212,17 @@ def _verify_jh_fused_small(pairs: DataFrame, features: DataFrame,
     """Small-corpus shape of verify_jaccard_hamming: one fused CASE
     hydration (the round-3 design). Payload (simhash_a/_b) pairs skip the
     simhash hydration column; rows/verdicts identical to the split path.
+
+    The pair rows are re-spread to the session's core count first (r6):
+    this path runs under the pipeline's small-corpus latency mode, whose
+    corpus-derived shuffle width (~8) is right for the kB-sized
+    exchanges but starves the one genuinely CPU-bound projection here —
+    exact Jaccard over the hydrated shingle arrays. The pairs frame is
+    narrow (ids + an 8-byte payload per side), so the extra exchange is
+    a few MB; the array bytes attach after, via the hydration joins.
     """
+    sc = pairs.sparkSession.sparkContext
+    pairs = pairs.repartition(max(sc.defaultParallelism, 8))
     has_payload = "simhash_a" in pairs.columns
     cols = ["shingles"] if has_payload else ["shingles", "simhash"]
     h = hydrate(pairs, features, cols)
