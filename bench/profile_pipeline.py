@@ -35,6 +35,8 @@ def main():
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": EVDIR,
+            # plain-text log: the parser below reads it line-by-line
+            "spark.eventLog.compress": "false",
         },
     )
     app_id = spark.sparkContext.applicationId

@@ -444,6 +444,13 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
     # materialize as separate query-stage futures, each re-executing the
     # uncached candidate chain (r6 event-log job swarm)
     pair_ids = pairs.select(F.explode(F.array("a", "b")).alias("id")).distinct()
+    if not eager:
+        # latency mode (n_docs < eager_barrier_min_docs): the distinct
+        # pair-id set is bounded by the corpus (< 25k short strings) —
+        # broadcast it so the prune is a map-side semi-join instead of a
+        # sort-merge that exchanges + sorts the whole corpus text at the
+        # narrow latency shuffle width (guide §3; r6 live transcript plan)
+        pair_ids = F.broadcast(pair_ids)
     normed = docs.select(
         F.col(id_col).cast("string").alias("id"),
         norm_text_col(text_col, cfg).alias("t"),
@@ -465,11 +472,12 @@ def verify_substr(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str,
         # slot (r6; the eager path already runs at the ambient width).
         sc = pairs.sparkSession.sparkContext
         h_pairs = pairs.repartition(max(sc.defaultParallelism, 8))
+    n_side = normed
     h = (
-        h_pairs.join(normed, h_pairs["a"] == normed["id"]).drop("id")
+        h_pairs.join(n_side, h_pairs["a"] == n_side["id"]).drop("id")
         .withColumnRenamed("t", "t_a")
     )
-    nb = normed.alias("nb")
+    nb = n_side.alias("nb")
     h = h.join(nb, h["b"] == nb["id"]).drop("id").withColumnRenamed("t", "t_b")
 
     @pandas_udf(T.IntegerType())

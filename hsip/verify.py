@@ -15,9 +15,29 @@ from pyspark.sql import functions as F
 
 from .config import DedupConfig
 
+# Build-side budget for the latency-mode broadcast hydrations below.
+# 256 MB is comfortably inside the pipeline's driver budget (session.py
+# HSIP_DRIVER_MEM 24g default) and far under Spark's 8 GB broadcast
+# hard limit; the gate reads MEASURED bytes, so an oversized corpus
+# simply keeps the shuffle-join shape.
+_BCAST_HYDRATE_MAX_BYTES = 256 * 1024 * 1024
+
+
+def measured_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes for ``df`` — ACCURATE when df is a
+    materialized cache (InMemoryRelation carries real batch stats), a
+    coarse logical estimate otherwise. Callers gate optimizations on
+    "known small": a huge or garbage estimate just declines the
+    optimization, so the estimate-vs-measured distinction is fail-safe.
+    """
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j edge
+        return None
+
 
 def hydrate(pairs: DataFrame, features: DataFrame, cols: list[str],
-            prune: bool = False) -> DataFrame:
+            prune: bool = False, broadcast: bool = False) -> DataFrame:
     """V1: attach feature columns for both pair sides as <col>_a / <col>_b.
 
     Both joins scan the SAME projected feature subplan and only rename
@@ -28,7 +48,15 @@ def hydrate(pairs: DataFrame, features: DataFrame, cols: list[str],
     arrays at 2.76M turns). ``prune=True`` bounds both shipments by the
     PAIR-TOUCHED id set (left-semi against the pair ids) — the hydration
     invariant that matters at 100 TB: feature bytes shuffled scale with
-    candidates, never with the corpus."""
+    candidates, never with the corpus.
+
+    ``broadcast=True`` (latency-mode callers, guide §3: pick the build
+    side on measured bytes): hint the feature side into both joins'
+    build slots. The two BroadcastExchanges canonicalize identically and
+    reuse one build, the pair rows stream with their existing (re-spread)
+    partitioning, and the 4-exchange sort-merge chain — which re-ships
+    the fat feature arrays twice through the latency mode's narrow
+    shuffle width — disappears. Callers gate on measured_size_bytes."""
     f = features.select("id", *cols)
     if prune:
         # one explode scan, not a two-branch union: under AQE the two
@@ -39,6 +67,8 @@ def hydrate(pairs: DataFrame, features: DataFrame, cols: list[str],
             F.explode(F.array("a", "b")).alias("id")
         ).distinct()
         f = f.join(pair_ids, "id", "left_semi")
+    if broadcast:
+        f = F.broadcast(f)
     out = pairs.join(f, pairs["a"] == f["id"]).drop("id")
     for c in cols:
         out = out.withColumnRenamed(c, f"{c}_a")
@@ -225,7 +255,17 @@ def _verify_jh_fused_small(pairs: DataFrame, features: DataFrame,
     pairs = pairs.repartition(max(sc.defaultParallelism, 8))
     has_payload = "simhash_a" in pairs.columns
     cols = ["shingles"] if has_payload else ["shingles", "simhash"]
-    h = hydrate(pairs, features, cols)
+    # ``features`` is cached + counted before any channel verifies
+    # (pipeline._ensure_features), so this is the MEASURED cache size.
+    # Known-small -> broadcast hydration: one reused build replaces the
+    # two sort-merge joins whose narrow-width exchanges ship the shingle
+    # arrays twice and pin the Jaccard projection at the latency shuffle
+    # width instead of the re-spread core count (r6: live transcript-
+    # scale plan had 4 SMJ / 8 Exchange to verify 1,841 pairs).
+    fsize = measured_size_bytes(features)
+    h = hydrate(pairs, features, cols,
+                broadcast=fsize is not None
+                and fsize <= _BCAST_HYDRATE_MAX_BYTES)
     is_mh = F.col("channel") == "minhash_lsh"
     jac = F.when(is_mh, jaccard_col())
     ham = F.when(~is_mh, hamming_col(h))
