@@ -111,6 +111,52 @@ def test_char_entropy_is_pure_projection(spark):
     assert "EvalPython" not in p  # per-row array math in codegen
 
 
+def test_latency_verify_hydration_broadcasts_known_small_features(spark):
+    """r6: the small-corpus fused verify broadcasts the feature side when
+    the features frame's MEASURED cache size fits the gate — both
+    hydration joins become BroadcastHashJoin (no SortMergeJoin, so the
+    pair rows keep their re-spread partitioning into the Jaccard
+    projection). An unmaterialized/unknown-size frame keeps the shuffle
+    shape — the gate is fail-safe."""
+    from hsip.verify import verify_jaccard_hamming
+
+    cfg = DedupConfig(jaccard_threshold=0.5, hamming_d=3)
+    feats = spark.createDataFrame(
+        [("a", [1, 2, 3, 4], 0), ("b", [1, 2, 3, 9], 1), ("c", [7, 8], 63)],
+        "id string, shingles array<long>, simhash long",
+    ).cache()
+    feats.count()  # materialize -> accurate (tiny) stats
+    pairs = spark.createDataFrame(
+        [("a", "b", "minhash_lsh"), ("a", "c", "simhash")],
+        "a string, b string, channel string",
+    )
+    try:
+        p = plan(verify_jaccard_hamming(pairs, feats, cfg, eager=False))
+        assert "BroadcastHashJoin" in p, p
+        assert "SortMergeJoin" not in p, p
+    finally:
+        feats.unpersist()
+
+
+def test_latency_substr_prune_broadcasts_pair_ids(spark):
+    """r6: verify_substr's latency path broadcasts the (corpus-bounded)
+    distinct pair-id set, so the semi-join prune never exchanges the
+    corpus text; rows are pinned elsewhere (e2e oracle tests)."""
+    from hsip.suffixes import verify_substr
+
+    cfg = DedupConfig()
+    docs = spark.createDataFrame(
+        [("a", "x" * 300), ("b", "x" * 300)], "id string, text string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b", [0], [0])],
+        "a string, b string, pos_as array<int>, pos_bs array<int>",
+    )
+    p = plan(verify_substr(pairs, docs, "id", "text", cfg, eager=False))
+    # the LeftSemi prune must be broadcast (build side = pair ids)
+    assert re.search(r"BroadcastHashJoin LeftSemi", p), p
+
+
 # ---------------------------------------------------------------------------
 # Python boundaries: Arrow-batched only, never row-at-a-time (PLANS.md §4)
 # ---------------------------------------------------------------------------
