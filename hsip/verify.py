@@ -204,6 +204,13 @@ def verify_jaccard_hamming(pairs: DataFrame, features: DataFrame,
     f = (
         features.select("id", "shingles")
         .join(pair_ids, "id", "left_semi")
+        # hash-partition ONCE and cache the post-shuffle layout: both
+        # hydration sort-merge joins consume the cached
+        # HashPartitioning(id) directly (the pair side adopts its
+        # width), so the pruned shingle arrays cross the network one
+        # time, not once per join — the same one-exchange contract
+        # verify_substr's eager path documents for its text table.
+        .repartition("id")
         .cache()
     )
     # without the count, AQE's concurrent join-side futures build the
