@@ -121,17 +121,21 @@ def get_spark(
         # lever against last-wave straggler idle at small executor counts
         # (BENCH/BASELINE.md decomposition of the 0.60 scaling number)
         .config("spark.scheduler.mode", "FAIR")
-        # let AQE re-optimize CACHED plans too: a repartition(col).cache()
-        # otherwise pins spark.sql.shuffle.partitions output partitions
-        # into the InMemoryRelation, so every downstream scan schedules
-        # that many tasks regardless of data size (event-log r6: 64-task
-        # stages over kB-sized cached frames, ~7.4k tasks per bench run
-        # -> 1.7k with this on). Size-adaptive at every scale — big
-        # caches keep their width, small ones coalesce (guide §2.2).
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
+        # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning stays
+        # at the Spark DEFAULT (false), deliberately: the engine's
+        # repartition(col).cache() sites (bucket/fingerprint tables,
+        # pair-pruned features) exist to make ONE exchange feed every
+        # consumer leg, and the true setting erases the cached
+        # HashPartitioning guarantee, so each pairs_from_buckets leg
+        # re-exchanges the full cached table (r6 event log at the
+        # 554k-turn rung: 4.7 GB shuffle-written vs 1.8 GB, 75 jobs vs
+        # 48, wall 63-77 s vs 41.7 s, alternating A/B in bench/ab_rung
+        # .py; bit-identical labels). The small-corpus task-count
+        # problem it once solved (64-task scans of kB caches) is owned
+        # by the pipeline's latency mode now (AQE off + derived width
+        # below eager_barrier_min_docs), where this flag is never
+        # consulted — bench-scale A/B confirms neutrality
+        # (bench/ab_conf.py cachedpart_off).
     )
     pool_file = _fair_pool_file()
     if pool_file:
