@@ -41,6 +41,8 @@ def pairs_from_buckets(
     hot_policy: str = "star",
     salt_seed: int = 42,
     payload_cols: tuple[str, ...] = (),
+    scratch: list | None = None,
+    eager: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Generic bucket -> candidate-pair expansion with hot-bucket control.
 
@@ -100,6 +102,21 @@ def pairs_from_buckets(
     sizes = bucketed.groupBy(*cols).agg(F.count(F.lit(1)).alias("bsz")) \
         .filter(F.col("bsz") >= 2)
     tagged = bucketed.join(sizes, cols)
+    # ``scratch`` + ``eager``: cache the join-back ONCE for its four
+    # consumer legs (small x/y self-join, hot, hot_min; hot_stats is a
+    # fifth). Without it each leg re-runs the size join over the full
+    # bucket table — r6 rung iso (bench/iso_substr.py): the tagged table
+    # is 1.9M rows where the bucket table is 8.4M, and caching it cut
+    # the substr expansion 10.5 s -> 8.4 s with identical pairs. Gated
+    # exactly like the channel caches: eager count (AQE's concurrent
+    # leg futures would race a lazy cache and re-run the subtree per
+    # leg), caller owns the unpersist via ``scratch``. Latency-mode
+    # callers pass eager=False — at kB scale the extra materialization
+    # job costs more than the duplicated tiny joins it saves.
+    if eager and scratch is not None:
+        tagged = tagged.cache()
+        tagged.count()
+        scratch.append(tagged)
 
     small = tagged.filter(F.col("bsz") <= cap).drop("bsz")
     x = small.alias("x")
@@ -171,7 +188,8 @@ def pairs_from_buckets(
 
 def lsh_candidates(sig_df: DataFrame, cfg: DedupConfig,
                    scratch: list | None = None,
-                   channel: str = "minhash_lsh") -> tuple[DataFrame, DataFrame]:
+                   channel: str = "minhash_lsh",
+                   eager: bool = False) -> tuple[DataFrame, DataFrame]:
     """(id, sig) -> (candidate pairs, hot-bucket stats).
 
     ``scratch``: optional list the internal band cache is appended to so
@@ -193,6 +211,7 @@ def lsh_candidates(sig_df: DataFrame, cfg: DedupConfig,
     return pairs_from_buckets(
         bands, cfg.bucket_cap, channel=channel,
         hot_policy=cfg.hot_bucket_policy, salt_seed=cfg.seed,
+        scratch=scratch, eager=eager,
     )
 
 

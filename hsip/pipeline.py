@@ -349,7 +349,8 @@ def run_documents(
             _ensure_features(sh=False)
 
             def build_lsh():
-                pairs, hot = lsh_candidates(sigs, cfg, scratch=scratch)
+                pairs, hot = lsh_candidates(sigs, cfg, scratch=scratch,
+                                            eager=eager_barriers)
                 if rec:
                     n_hot = hot.count()
                     rec.metric("lsh_candidates", "hot_buckets_star_paired", n_hot)
@@ -367,7 +368,8 @@ def run_documents(
             _ensure_features(mh=False)
 
             def build_sim():
-                pairs, hot = simhash_candidates(simhashes, cfg, scratch=scratch)
+                pairs, hot = simhash_candidates(simhashes, cfg, scratch=scratch,
+                                                eager=eager_barriers)
                 if rec:
                     rec.metric("simhash_candidates", "hot_buckets_star_paired", hot.count())
                 return pairs
@@ -423,6 +425,7 @@ def run_documents(
                     bucket_cols=("channel", "bkt_id", "bkt_hash"), channel=None,
                     hot_policy=cfg.hot_bucket_policy, salt_seed=cfg.seed,
                     payload_cols=("simhash",),
+                    scratch=scratch, eager=eager_barriers,
                 )
                 if rec:
                     for r in hot.groupBy("channel").count().collect():

@@ -220,7 +220,8 @@ def probe_key_entropy(cfg: DedupConfig, n_docs: int, margin_bits: float = 8.0) -
 
 
 def simhash_candidates(simhash_df: DataFrame, cfg: DedupConfig,
-                       scratch: list | None = None) -> tuple[DataFrame, DataFrame]:
+                       scratch: list | None = None,
+                       eager: bool = False) -> tuple[DataFrame, DataFrame]:
     # scratch: optional list the block cache is appended to so the caller
     # can unpersist it after pair materialization (VERDICT.md r3 item 5).
     # cache + eager count honors the pairs_from_buckets contract (the
@@ -242,6 +243,7 @@ def simhash_candidates(simhash_df: DataFrame, cfg: DedupConfig,
         bucket_cols=("table_id", "key_hash"),
         channel="simhash",
         payload_cols=("simhash",),
+        scratch=scratch, eager=eager,
     )
 
 
