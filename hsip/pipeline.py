@@ -183,6 +183,25 @@ def run_documents(
         stage_walls[name] = round(time.time() - t0, 3)
         return out
 
+    def flat_stage(name: str, build):
+        """Ephemeral-mode materialization into a FLAT plan: one eager
+        localCheckpoint job instead of cache+count. Same barrier, same
+        rows, but downstream consumers plan over a LogicalRDD instead of
+        re-canonicalizing the channel's full logical tree on every
+        action — the r6 rung event log shows 2.5 s + 1.4 s of pure
+        driver gap just planning the `verified` combine over the two
+        cached channel outputs (plan text ~12 MB). Checkpoint mode keeps
+        the parquet-backed stage() path, which is already flat."""
+        t0 = time.time()
+        sc = spark.sparkContext
+        sc.setJobDescription(f"hsip:{name}")
+        try:
+            out = build().localCheckpoint(eager=True)
+        finally:
+            sc.setJobDescription(None)
+        stage_walls[name] = round(time.time() - t0, 3)
+        return out
+
     stats: dict = {"stage_walls": stage_walls}
     need_mh = "minhash_lsh" in channels
     need_sh = "simhash" in channels
@@ -439,17 +458,18 @@ def run_documents(
             # materialize the channel's verdicts ON THIS THREAD (r6): lazy
             # output folded the whole hydrate+verify chain into the single
             # `verified` job on the main thread, serializing it against the
-            # other channel's tail; cache+count here overlaps the two
+            # other channel's tail; materializing here overlaps the two
             # channels' verify work (the FAIR-pool design _run_channels
-            # exists for). Cache released with the scratch sweep after
-            # combine_verified materializes.
-            out = stage(
-                "verify_mh_sh",
-                lambda: V.verify_jaccard_hamming(cands, feats, cfg,
-                                                 scratch=scratch,
-                                                 eager=eager_barriers),
-            )
-            scratch.append(out)
+            # exists for). Ephemeral mode flattens the plan too
+            # (flat_stage) so the combine/stats/CC actions stop paying
+            # multi-second canonicalization of the channel's full tree.
+            build_v = lambda: V.verify_jaccard_hamming(  # noqa: E731
+                cands, feats, cfg, scratch=scratch, eager=eager_barriers)
+            if use_ckpt:
+                out = stage("verify_mh_sh", build_v)
+                scratch.append(out)
+            else:
+                out = flat_stage("verify_mh_sh", build_v)
             return out
 
         def _sub_channel() -> DataFrame:
@@ -479,13 +499,15 @@ def run_documents(
             sub_pairs = stage("substr_candidates", build_substr, reuse=False)
             # same in-thread materialization as verify_mh_sh (r6): the span
             # UDF runs here, overlapped with the mh_sh channel, instead of
-            # inside the serial `verified` job
-            out = stage(
-                "verify_substr",
-                lambda: verify_substr(sub_pairs, chan_base, "id", "text", cfg,
-                                      scratch=scratch, eager=eager_barriers),
-            )
-            scratch.append(out)
+            # inside the serial `verified` job; flat in ephemeral mode
+            build_v = lambda: verify_substr(  # noqa: E731
+                sub_pairs, chan_base, "id", "text", cfg,
+                scratch=scratch, eager=eager_barriers)
+            if use_ckpt:
+                out = stage("verify_substr", build_v)
+                scratch.append(out)
+            else:
+                out = flat_stage("verify_substr", build_v)
             return out
 
         builders = []
